@@ -1,0 +1,154 @@
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
+from tpusolve.matrix.sharded import ShardedMatrix
+from tpusolve.matrix.spmv import spmv
+from tpusolve.matrix.vectors import to_device_vector, from_device_vector
+from tests.conftest import random_coo
+
+
+def _dense_of(rows, cols, vals, shape):
+    # duplicate entries add (IJ AddToValues semantics)
+    return sp.coo_matrix((vals, (rows, cols)), shape=shape).toarray()
+
+
+def _check_spmv(mesh, rows, cols, vals, shape, rng, rtol=1e-12):
+    A = ShardedMatrix.from_coo(mesh, shape, rows, cols, vals)
+    dense = _dense_of(rows, cols, vals, shape)
+    # format reconstruction matches assembly semantics
+    np.testing.assert_allclose(A.to_scipy().toarray(), dense, rtol=rtol,
+                               atol=1e-14)
+    x = rng.standard_normal(shape[1])
+    xd = to_device_vector(mesh, x, A.col_offsets, A.col_pad)
+    y = jax.jit(spmv, static_argnums=())(A, x=xd) if False else spmv(A, xd)
+    y_np = from_device_vector(y, A.row_offsets, A.row_pad)
+    np.testing.assert_allclose(y_np, dense @ x, rtol=rtol, atol=1e-12)
+    return A
+
+
+class TestShardedFormat:
+    def test_square_even(self, mesh8, rng):
+        n = 64
+        rows, cols, vals = random_coo(rng, n)
+        _check_spmv(mesh8, rows, cols, vals, (n, n), rng)
+
+    def test_square_uneven_rows(self, mesh8, rng):
+        # N % P != 0 exercises the padded-row invariant
+        n = 61
+        rows, cols, vals = random_coo(rng, n)
+        _check_spmv(mesh8, rows, cols, vals, (n, n), rng)
+
+    def test_single_device(self, mesh1, rng):
+        n = 30
+        rows, cols, vals = random_coo(rng, n)
+        _check_spmv(mesh1, rows, cols, vals, (n, n), rng)
+
+    def test_rectangular_tall(self, mesh8, rng):
+        # AMG interpolation shape: (n_fine, n_coarse)
+        n, m = 60, 17
+        rows = np.arange(n, dtype=np.int64)
+        cols = rng.integers(0, m, n).astype(np.int64)
+        vals = rng.standard_normal(n)
+        _check_spmv(mesh8, rows, cols, vals, (n, m), rng)
+
+    def test_rectangular_wide(self, mesh8, rng):
+        # AMG restriction shape: (n_coarse, n_fine)
+        n, m = 17, 60
+        rows = rng.integers(0, n, 100).astype(np.int64)
+        cols = rng.integers(0, m, 100).astype(np.int64)
+        vals = rng.standard_normal(100)
+        _check_spmv(mesh8, rows, cols, vals, (n, m), rng)
+
+    def test_duplicates_add(self, mesh8, rng):
+        n = 40
+        rows = np.concatenate([np.arange(n), np.arange(n), [0, 0, 5]]).astype(np.int64)
+        cols = np.concatenate([np.arange(n), np.arange(n), [3, 3, 5]]).astype(np.int64)
+        vals = np.concatenate([np.ones(n), 2 * np.ones(n), [1.0, 4.0, -2.0]])
+        A = ShardedMatrix.from_coo(mesh8, (n, n), rows, cols, vals)
+        dense = A.to_scipy().toarray()
+        assert dense[0, 0] == 3.0
+        assert dense[0, 3] == 5.0
+        assert dense[5, 5] == 1.0
+
+    def test_dedup_set_mode(self, mesh8):
+        n = 16
+        rows = np.array([2, 2, 7], dtype=np.int64)
+        cols = np.array([3, 3, 7], dtype=np.int64)
+        vals = np.array([1.0, 9.0, 4.0])
+        A = ShardedMatrix.from_coo(mesh8, (n, n), rows, cols, vals, dedup="set")
+        dense = A.to_scipy().toarray()
+        assert dense[2, 3] == 9.0  # last write wins
+
+    def test_diagonal_extraction(self, mesh8, rng):
+        n = 50
+        rows, cols, vals = random_coo(rng, n)
+        A = ShardedMatrix.from_coo(mesh8, (n, n), rows, cols, vals)
+        dense = _dense_of(rows, cols, vals, (n, n))
+        diag_padded = np.asarray(A.diagonal_padded())
+        d = from_device_vector(jnp.asarray(diag_padded), A.row_offsets, A.row_pad)
+        np.testing.assert_allclose(d, np.diag(dense), rtol=1e-14)
+        # padded slots are exactly 1
+        ro = np.asarray(A.row_offsets)
+        counts = np.diff(ro)
+        dp = diag_padded.reshape(A.nparts, A.row_pad)
+        for p in range(A.nparts):
+            assert np.all(dp[p, counts[p]:] == 1.0)
+
+    def test_empty_rows(self, mesh8):
+        # rows with no entries at all must survive assembly + spmv
+        n = 24
+        rows = np.array([0, 23], dtype=np.int64)
+        cols = np.array([0, 23], dtype=np.int64)
+        vals = np.array([2.0, 3.0])
+        A = ShardedMatrix.from_coo(mesh8, (n, n), rows, cols, vals)
+        x = np.ones(n)
+        xd = to_device_vector(A.mesh, x, A.col_offsets, A.col_pad)
+        y = from_device_vector(spmv(A, xd), A.row_offsets, A.row_pad)
+        expect = np.zeros(n)
+        expect[0], expect[23] = 2.0, 3.0
+        np.testing.assert_allclose(y, expect)
+
+    def test_block_diagonal_no_ghosts(self, mesh8):
+        # strictly local matrix: halo plan must be a no-op
+        n = 32
+        rows = np.arange(n, dtype=np.int64)
+        A = ShardedMatrix.from_coo(mesh8, (n, n), rows, rows,
+                                   np.full(n, 5.0))
+        x = np.arange(n, dtype=np.float64)
+        xd = to_device_vector(A.mesh, x, A.col_offsets, A.col_pad)
+        y = from_device_vector(spmv(A, xd), A.row_offsets, A.row_pad)
+        np.testing.assert_allclose(y, 5.0 * x)
+
+    def test_dense_column_all_ghosts(self, mesh8, rng):
+        # one dense column: every device needs a ghost from its owner
+        n = 40
+        rows = np.arange(n, dtype=np.int64)
+        cols = np.full(n, 37, dtype=np.int64)
+        vals = rng.standard_normal(n)
+        _check_spmv(mesh8, rows, cols, vals, (n, n), rng)
+
+    def test_spmv_under_jit(self, mesh8, rng):
+        n = 48
+        rows, cols, vals = random_coo(rng, n)
+        A = ShardedMatrix.from_coo(mesh8, (n, n), rows, cols, vals)
+        dense = _dense_of(rows, cols, vals, (n, n))
+        x = rng.standard_normal(n)
+        xd = to_device_vector(A.mesh, x, A.col_offsets, A.col_pad)
+        y = jax.jit(lambda a, v: spmv(a, v))(A, xd)
+        y_np = from_device_vector(y, A.row_offsets, A.row_pad)
+        np.testing.assert_allclose(y_np, dense @ x, rtol=1e-12)
+
+    def test_float32(self, mesh8, rng):
+        n = 32
+        rows, cols, vals = random_coo(rng, n)
+        A = ShardedMatrix.from_coo(mesh8, (n, n), rows, cols, vals,
+                                   dtype=np.float32)
+        assert A.dtype == np.float32
+        dense = _dense_of(rows, cols, vals, (n, n)).astype(np.float32)
+        x = rng.standard_normal(n).astype(np.float32)
+        xd = to_device_vector(A.mesh, x, A.col_offsets, A.col_pad)
+        y_np = from_device_vector(spmv(A, xd), A.row_offsets, A.row_pad)
+        np.testing.assert_allclose(y_np, dense @ x, rtol=1e-5, atol=1e-5)

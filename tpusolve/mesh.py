@@ -1,0 +1,94 @@
+"""Device mesh construction and 1-D row-block decomposition.
+
+The reference decomposes matrix rows into contiguous blocks across MPI ranks
+(ref: src/HypreSystem.cpp:525-544 ``init_row_decomposition``): each rank gets
+``total/nproc`` rows and the remainder is spread one row at a time over the
+first ranks.  We reproduce that rule exactly so partition-dependent file
+formats (HYPRE-IJ multi-file dumps) round-trip bit-identically, and map the
+rank dimension onto a 1-D ``jax.sharding.Mesh`` axis (default name
+``"rows"``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+ROWS_AXIS = "rows"
+
+
+def row_decomposition(total_rows: int, nparts: int) -> np.ndarray:
+    """Contiguous 1-D block partition offsets.
+
+    Returns an int64 array ``offsets`` of shape ``(nparts + 1,)`` with part
+    ``p`` owning global rows ``[offsets[p], offsets[p+1])``.  Matches the
+    reference rule (src/HypreSystem.cpp:529-535): ``rowsPerProc = total //
+    nparts`` with the remainder spread over the first ranks.
+    """
+    if nparts <= 0:
+        raise ValueError(f"nparts must be positive, got {nparts}")
+    if total_rows < 0:
+        raise ValueError(f"total_rows must be >= 0, got {total_rows}")
+    base = total_rows // nparts
+    rem = total_rows % nparts
+    counts = np.full(nparts, base, dtype=np.int64)
+    counts[:rem] += 1
+    offsets = np.zeros(nparts + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return offsets
+
+
+def owner_of(indices: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Owning part for each global index under a block partition."""
+    return np.searchsorted(offsets, np.asarray(indices), side="right") - 1
+
+
+def local_range(offsets: np.ndarray, part: int) -> tuple[int, int]:
+    """(iLower, iUpper) inclusive range for a part, reference-style."""
+    return int(offsets[part]), int(offsets[part + 1]) - 1
+
+
+def make_mesh(n_devices: int | None = None, axis: str = ROWS_AXIS,
+              devices=None) -> Mesh:
+    """Build a 1-D device mesh over the row axis.
+
+    ``n_devices=None`` uses all available devices.  The reference binds one
+    GPU per MPI rank (src/main.cpp:9-29); here every addressable device is a
+    mesh coordinate and SPMD replaces the process model.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} available")
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def compute_3d_process_distribution(nparts: int) -> tuple[int, int, int]:
+    """Factor ``nparts`` into a 3-D process grid (px, py, pz).
+
+    Functional equivalent of the reference's prime-factorization grid
+    builder (src/laplace_3d_weak_scaling.hpp:98-169): distribute prime
+    factors across the three dimensions, largest factors first, always onto
+    the currently smallest dimension, yielding a near-cubic grid.
+    """
+    if nparts <= 0:
+        raise ValueError(f"nparts must be positive, got {nparts}")
+    factors = []
+    n = nparts
+    d = 2
+    while d * d <= n:
+        while n % d == 0:
+            factors.append(d)
+            n //= d
+        d += 1
+    if n > 1:
+        factors.append(n)
+    grid = [1, 1, 1]
+    for f in sorted(factors, reverse=True):
+        grid[int(np.argmin(grid))] *= f
+    px, py, pz = sorted(grid, reverse=True)
+    return px, py, pz
