@@ -1,0 +1,98 @@
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpusolve.matrix.spmv import spmv
+from tpusolve.matrix.vectors import to_device_vector, from_device_vector
+from tpusolve.stencil import laplace27, laplace27_scipy
+from tpusolve.krylov import pcg_setup
+
+
+def dense_27pt_reference(nx, ny, nz):
+    """Independent oracle: assemble the global 27-pt Laplacian row by row
+    in natural (x-fastest, single global box) ordering."""
+    n = nx * ny * nz
+    A = np.zeros((n, n))
+    rhs = np.zeros(n)
+    def idx(x, y, z):
+        return z * ny * nx + y * nx + x
+    for z in range(nz):
+        for y in range(ny):
+            for x in range(nx):
+                r = idx(x, y, z)
+                cnt = 0
+                for dz in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            X, Y, Z = x + dx, y + dy, z + dz
+                            if 0 <= X < nx and 0 <= Y < ny and 0 <= Z < nz:
+                                if dx == dy == dz == 0:
+                                    A[r, idx(X, Y, Z)] = 26.0
+                                else:
+                                    A[r, idx(X, Y, Z)] = -1.0
+                                    cnt += 1
+                rhs[r] = 26.0 - cnt
+    return A, rhs
+
+
+class TestGenerator:
+    def test_single_part_matches_dense_oracle(self):
+        A, rhs = laplace27_scipy(3, 4, 5)
+        Ad, rhsd = dense_27pt_reference(3, 4, 5)
+        np.testing.assert_allclose(A.toarray(), Ad)
+        np.testing.assert_allclose(rhs, rhsd)
+
+    def test_solution_is_ones(self):
+        A, rhs = laplace27_scipy(4, 4, 4, pgrid=(2, 1, 1))
+        np.testing.assert_allclose(A @ np.ones(A.shape[0]), rhs)
+
+    def test_multipart_same_operator_as_single(self):
+        # 2x2x2 process grid of 2^3 boxes == one 4^3 box, up to row permutation
+        A1, _ = laplace27_scipy(4, 4, 4)
+        A8, _ = laplace27_scipy(2, 2, 2, pgrid=(2, 2, 2))
+        # same spectrum-defining invariants
+        assert A1.nnz == A8.nnz
+        np.testing.assert_allclose(A1.diagonal(), np.full(64, 26.0))
+        np.testing.assert_allclose(A8.diagonal(), np.full(64, 26.0))
+        np.testing.assert_allclose(A1.sum(), A8.sum())
+        # row sums are permutation-equal
+        np.testing.assert_allclose(sorted(np.asarray(A1.sum(axis=1)).ravel()),
+                                   sorted(np.asarray(A8.sum(axis=1)).ravel()))
+
+    def test_symmetry(self):
+        A, _ = laplace27_scipy(3, 3, 3, pgrid=(1, 1, 1))
+        assert (A != A.T).nnz == 0
+
+
+class TestShardedStencil:
+    def test_sharded_matches_scipy(self, mesh8, rng):
+        A, b, x_ref = laplace27(mesh8, 3, 3, 2)
+        As, rhs_s = laplace27_scipy(3, 3, 2, pgrid=(2, 2, 2))
+        np.testing.assert_allclose(A.to_scipy().toarray(), As.toarray())
+        b_np = from_device_vector(b, A.row_offsets, A.row_pad)
+        np.testing.assert_allclose(b_np, rhs_s)
+
+    def test_spmv_of_ones_equals_rhs(self, mesh8):
+        A, b, x_ref = laplace27(mesh8, 4, 3, 2)
+        y = spmv(A, x_ref)
+        np.testing.assert_allclose(
+            from_device_vector(y, A.row_offsets, A.row_pad),
+            from_device_vector(b, A.row_offsets, A.row_pad), rtol=1e-13)
+
+    def test_end_to_end_pcg_solve(self, mesh8):
+        # the minimum end-to-end slice: generator + PCG + Jacobi precond,
+        # golden check vs x = 1 (SURVEY.md section 7 step 4)
+        A, b, x_ref = laplace27(mesh8, 4, 4, 2)
+        dinv = 1.0 / A.diagonal_padded()
+        res = pcg_setup(A, lambda r: dinv * r, tol=1e-10, maxiter=500)(b)
+        assert bool(res.converged)
+        x = from_device_vector(res.x, A.row_offsets, A.row_pad)
+        np.testing.assert_allclose(x, 1.0, rtol=1e-8)
+
+    def test_ghost_count_matches_geometry(self, mesh8):
+        # each 2x2x2 box in a 2x2x2 grid: ghosts = 4^3 - 2^3 - (corner cut)
+        A, _, _ = laplace27(mesh8, 2, 2, 2)
+        # halo plan reconstructs the right operator — covered by
+        # test_sharded_matches_scipy; here check ghosts are nonzero and
+        # bounded by the full shell
+        assert A.ghost_slot.shape[-1] <= 4 ** 3
