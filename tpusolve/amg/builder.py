@@ -1,0 +1,279 @@
+"""BoomerAMG-equivalent multilevel hierarchy: setup + jitted cycles.
+
+TPU-native replacement for ``HYPRE_BoomerAMG{Create,Setup,Solve}`` and the
+~45-key setter surface the reference drives (src/HypreSystem.cpp:91-326).
+
+Split of labor (SURVEY.md section 7 "hard parts"):
+
+* **Setup** (strength -> PMIS coarsening -> classical/direct interpolation ->
+  Galerkin RAP) runs vectorized on the host — the analog of the reference's
+  separately-timed "Preconditioner setup" phase (src/HypreSystem.cpp:731) —
+  producing a static hierarchy of ShardedMatrix operators.
+* **Cycling** (smooth -> restrict -> recurse -> prolong -> smooth) is a pure
+  jitted function over sharded vectors; every SpMV is the shard_map halo
+  kernel and every reduction a psum.
+
+The hierarchy is introspectable (``levels[i].A/P/R``), matching the
+reference's reach into ``hypre_ParAMGData`` for the AMG-matrix dump
+(src/HypreSystem.cpp:700-714).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
+from tpusolve.config import BoomerAMGConfig
+from tpusolve.matrix.sharded import ShardedMatrix
+from tpusolve.matrix.spmv import spmv
+from tpusolve.matrix.vectors import pad_vector, replicated
+from tpusolve.mesh import row_decomposition
+from tpusolve.amg import strength as strength_mod
+from tpusolve.amg import coarsen as coarsen_mod
+from tpusolve.amg import interp as interp_mod
+from tpusolve.amg import galerkin
+from tpusolve.amg import smoothers
+from tpusolve.krylov.common import SolveResult, norm, safe_div, stop_target
+
+
+@dataclass
+class Level:
+    """One level of the hierarchy (host-side container of device arrays)."""
+    A: ShardedMatrix
+    P: ShardedMatrix | None          # (n_fine, n_coarse); None at coarsest
+    R: ShardedMatrix | None          # P^T
+    dinv_l1: jax.Array | None        # 1 / l1 row norms (padded, sharded)
+    dinv: jax.Array | None           # 1 / diag        (padded, sharded)
+    cheby_bounds: tuple[float, float] | None
+    n: int = 0
+    nnz: int = 0
+
+
+@dataclass
+class AMGPreconditioner:
+    levels: list[Level]
+    coarse_inv: jax.Array            # (Npad_c, Npad_c) replicated pinv
+    config: BoomerAMGConfig
+    notes: list[str]
+    _cycle: Any = None               # jitted cycle closure
+    num_levels: int = 0
+
+    def apply(self, r):
+        """z = (one AMG cycle)(r) from zero initial guess — the
+        preconditioner contract."""
+        return self._cycle(r)
+
+    def solve(self, b, x0=None, tol: float | None = None,
+              maxiter: int | None = None) -> SolveResult:
+        """Standalone AMG iteration (reference method ``boomeramg``,
+        src/HypreSystem.cpp:91-117): stationary cycles until tol."""
+        cfg = self.config
+        tol = cfg.tolerance if tol is None else tol
+        maxiter = cfg.max_iterations if maxiter is None else maxiter
+        A = self.levels[0].A
+        x = jnp.zeros_like(b) if x0 is None else x0
+        bnorm = float(norm(b))
+        target = max(tol * bnorm, 0.0)
+        rnorm = float(norm(b - spmv(A, x)))
+        it = 0
+        while it < maxiter and rnorm > target:
+            r = b - spmv(A, x)
+            x = x + self._cycle(r)
+            rnorm = float(norm(b - spmv(A, x)))
+            it += 1
+        relres = rnorm / bnorm if bnorm else 0.0
+        return SolveResult(x=x, iters=jnp.int32(it),
+                           relres=jnp.asarray(relres, b.dtype),
+                           converged=jnp.bool_(rnorm <= target or tol == 0.0))
+
+    def describe(self) -> str:
+        """Grid/operator complexity table (hypre print_level>=1 analog)."""
+        lines = ["AMG hierarchy:",
+                 f"  {'lvl':>3s} {'rows':>12s} {'nnz':>14s} {'avg nnz/row':>12s}"]
+        n0 = self.levels[0].n
+        nnz0 = self.levels[0].nnz
+        for i, lev in enumerate(self.levels):
+            avg = lev.nnz / max(lev.n, 1)
+            lines.append(f"  {i:3d} {lev.n:12d} {lev.nnz:14d} {avg:12.2f}")
+        grid_c = sum(l.n for l in self.levels) / max(n0, 1)
+        op_c = sum(l.nnz for l in self.levels) / max(nnz0, 1)
+        lines.append(f"  grid complexity {grid_c:.3f}   "
+                     f"operator complexity {op_c:.3f}")
+        for note in self.notes:
+            lines.append(f"  note: {note}")
+        return "\n".join(lines)
+
+
+def _sharded_from_scipy(mesh, M: sp.spmatrix, dtype, row_offsets=None,
+                        col_offsets=None) -> ShardedMatrix:
+    Mc = M.tocoo()
+    return ShardedMatrix.from_coo(
+        mesh, M.shape, Mc.row.astype(np.int64), Mc.col.astype(np.int64),
+        Mc.data, dtype=dtype, row_offsets=row_offsets,
+        col_offsets=col_offsets)
+
+
+def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
+                    *, A_host: sp.csr_matrix | None = None,
+                    seed: int = 1234) -> AMGPreconditioner:
+    """Build the AMG hierarchy for sharded operator ``A``.
+
+    ``A_host`` may supply the host CSR to avoid a device gather when the
+    caller already has it (e.g. straight after file load).
+    """
+    cfg = config or BoomerAMGConfig()
+    mesh = A.mesh
+    dtype = A.dtype
+    notes: list[str] = []
+
+    kind_down, note = smoothers.resolve_relax(
+        cfg.relax_down if cfg.relax_down is not None else cfg.relax_type)
+    if note:
+        notes.append(note)
+    kind_up, note = smoothers.resolve_relax(
+        cfg.relax_up if cfg.relax_up is not None else cfg.relax_type)
+    if note and note not in notes:
+        notes.append(note)
+
+    Ah = (A_host if A_host is not None else A.to_scipy()).tocsr()
+    Ah.sum_duplicates()
+
+    min_coarse = cfg.min_coarse_size or 1
+    max_coarse = max(cfg.max_coarse_size, min_coarse)
+
+    levels: list[Level] = []
+    A_sh = A
+    for lvl in range(cfg.max_levels):
+        n = Ah.shape[0]
+        if n <= max_coarse or lvl == cfg.max_levels - 1:
+            break
+        S = strength_mod.classical_strength(Ah, cfg.strong_threshold)
+        split, note = coarsen_mod.coarsen(S, cfg.coarsen_type,
+                                          seed=seed + lvl)
+        if note and note not in notes:
+            notes.append(note)
+        nc = int((split == coarsen_mod.C_PT).sum())
+        if nc == 0 or nc >= n:
+            break  # coarsening stalled: stop here, direct-solve this level
+        P_host, note = interp_mod.build_interpolation(
+            Ah, S, split, cfg.interp_type, cfg.trunc_factor, cfg.p_max_elmts)
+        if note and note not in notes:
+            notes.append(note)
+        Ac = galerkin.rap(Ah, P_host)
+        ng_tol = cfg.non_galerkin_tol
+        if cfg.nongalerk_tol:
+            idx = min(lvl, len(cfg.nongalerk_tol) - 1)
+            ng_tol = float(cfg.nongalerk_tol[idx])
+        if ng_tol > 0:
+            Ac = galerkin.nongalerkin_sparsify(Ac, ng_tol)
+
+        lev = _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg)
+        row_off = np.asarray(A_sh.row_offsets)
+        col_off = row_decomposition(nc, A_sh.nparts)
+        lev.P = _sharded_from_scipy(mesh, P_host, dtype,
+                                    row_offsets=row_off,
+                                    col_offsets=col_off)
+        lev.R = _sharded_from_scipy(mesh, P_host.T.tocsr(), dtype,
+                                    row_offsets=col_off,
+                                    col_offsets=row_off)
+        levels.append(lev)
+
+        Ah = Ac
+        A_sh = _sharded_from_scipy(mesh, Ah, dtype)
+
+    # coarsest level: dense (pseudo)inverse in padded layout
+    lev = _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg)
+    levels.append(lev)
+    coarse_inv = _padded_pinv(mesh, Ah, A_sh, dtype)
+
+    pre = AMGPreconditioner(levels=levels, coarse_inv=coarse_inv, config=cfg,
+                            notes=notes, num_levels=len(levels))
+    pre._cycle = _build_cycle(pre, kind_down, kind_up, cfg)
+    return pre
+
+
+def _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg) -> Level:
+    ro = np.asarray(A_sh.row_offsets)
+    need_l1 = smoothers.RELAX_L1_JACOBI in (kind_down, kind_up)
+    need_cheby = smoothers.RELAX_CHEBYSHEV in (kind_down, kind_up)
+    dinv_l1 = None
+    cheby_bounds = None
+    d = Ah.diagonal()
+    d = np.where(d != 0, d, 1.0)
+    dinv_host = 1.0 / d
+    from tpusolve.matrix.vectors import to_device_vector
+    dinv = to_device_vector(mesh, dinv_host, ro, A_sh.row_pad, dtype=dtype)
+    if need_l1:
+        l1 = smoothers.l1_row_norms(Ah)
+        dinv_l1 = to_device_vector(mesh, 1.0 / l1, ro, A_sh.row_pad,
+                                   dtype=dtype)
+    if need_cheby:
+        lam = smoothers.chebyshev_bounds(Ah, dinv_host)
+        cheby_bounds = (cfg.cheby_fraction * lam, 1.1 * lam)
+    return Level(A=A_sh, P=None, R=None, dinv_l1=dinv_l1, dinv=dinv,
+                 cheby_bounds=cheby_bounds, n=Ah.shape[0], nnz=Ah.nnz)
+
+
+def _padded_pinv(mesh, Ah, A_sh, dtype) -> jax.Array:
+    """Dense pseudo-inverse of the coarsest operator, laid out in the padded
+    sharded vector space on both axes, replicated on the mesh."""
+    ro = np.asarray(A_sh.row_offsets)
+    pad = A_sh.row_pad
+    inv = np.linalg.pinv(Ah.toarray(), rcond=1e-12)
+    # scatter into padded layout: rows then cols
+    tmp = pad_vector(inv, ro, pad)                       # (Npad, n)
+    full = pad_vector(np.ascontiguousarray(tmp.T), ro, pad)  # (Npad, Npad)
+    return replicated(mesh, full.T.astype(dtype))
+
+
+def _build_cycle(pre: AMGPreconditioner, kind_down, kind_up,
+                 cfg: BoomerAMGConfig):
+    levels = pre.levels
+    L = len(levels)
+    nu_down = cfg.num_down_sweeps if cfg.num_down_sweeps is not None else cfg.num_sweeps
+    nu_up = cfg.num_up_sweeps if cfg.num_up_sweeps is not None else cfg.num_sweeps
+    gamma = 2 if cfg.cycle_type == 2 else 1
+    weight = 1.0
+    coarse_inv = pre.coarse_inv
+
+    def smooth(lev: Level, b, x, kind, ns):
+        if ns <= 0:
+            return x
+        if kind == smoothers.RELAX_L1_JACOBI:
+            return smoothers.jacobi_sweeps(lev.A, lev.dinv_l1, b, x, ns, 1.0)
+        if kind == smoothers.RELAX_JACOBI:
+            return smoothers.jacobi_sweeps(lev.A, lev.dinv, b, x, ns, weight)
+        if kind == smoothers.RELAX_CHEBYSHEV:
+            for _ in range(ns):
+                x = smoothers.chebyshev_sweeps(lev.A, lev.dinv, b, x,
+                                               lev.cheby_bounds,
+                                               cfg.cheby_order)
+            return x
+        raise ValueError(kind)
+
+    def cycle(l: int, b, x):
+        lev = levels[l]
+        if l == L - 1:
+            # coarsest: x + pinv(b - A x)
+            r = b - spmv(lev.A, x)
+            return x + coarse_inv @ r
+        x = smooth(lev, b, x, kind_down, nu_down)
+        r = b - spmv(lev.A, x)
+        rc = spmv(lev.R, r)
+        ec = jnp.zeros(levels[l + 1].A.padded_nrows, b.dtype)
+        for _ in range(gamma):
+            ec = cycle(l + 1, rc, ec)
+        x = x + spmv(lev.P, ec)
+        x = smooth(lev, b, x, kind_up, nu_up)
+        return x
+
+    @jax.jit
+    def apply(r):
+        return cycle(0, r, jnp.zeros_like(r))
+
+    return apply

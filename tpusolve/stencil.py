@@ -96,13 +96,17 @@ def _local_part(part, nx, ny, nz, pgrid, dtype):
 
 def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
               dtype=np.float64, pgrid: tuple[int, int, int] | None = None,
-              axis: str = ROWS_AXIS):
+              axis: str = ROWS_AXIS, with_host: bool = False):
     """Build the sharded 27-pt system on ``mesh``.
 
     Returns ``(A, b, x_ref)``: the sharded matrix, the padded sharded RHS,
     and the padded reference solution (all-ones), matching the reference's
     weak-scaling fixture where global rows = nx*ny*nz*nparts
     (ref: src/HypreSystem.cpp:1516).
+
+    ``with_host=True`` appends the host CSR as a 4th return value — pass it
+    to ``boomeramg_setup(..., A_host=...)`` to avoid a device->host gather
+    of the operator during preconditioner setup.
     """
     nparts = mesh.devices.size
     if pgrid is None:
@@ -126,6 +130,16 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
                          dtype=dtype, axis=axis)
     x_ref = to_device_vector(mesh, np.ones(n, dtype), A.row_offsets,
                              A.row_pad, dtype=dtype, axis=axis)
+    if with_host:
+        import scipy.sparse as sp
+        box = nx * ny * nz
+        rows = np.concatenate([p[0] + q * box for q, p in enumerate(parts)])
+        cols = np.concatenate([p[1] for p in parts])
+        # setup math (strength/interp/RAP) runs in f64 on the host even when
+        # the device operators are f32
+        vals = np.concatenate([p[2] for p in parts]).astype(np.float64)
+        A_host = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+        return A, b, x_ref, A_host
     return A, b, x_ref
 
 
