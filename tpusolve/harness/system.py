@@ -1,0 +1,366 @@
+"""LinearSystem — the run-orchestration layer.
+
+TPU-native analog of ``nalu::HypreSystem`` (ref: src/HypreSystem.h:66-298)
+with the same 8-method lifecycle, called in the reference's order
+(src/main.cpp:172-192)::
+
+    sys = LinearSystem(mesh, config)
+    sys.setup_precon_and_solver()
+    sys.load()
+    sys.solve()
+    sys.check_solution()
+    sys.output_linear_system()
+    sys.summarize_timers()
+    sys.destroy_system()
+
+Timer names match the reference's exactly (SURVEY.md section 5) so CSV
+profiles are directly comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpusolve.config import AppConfig
+from tpusolve.formats import mmio, ij
+from tpusolve.matrix.sharded import ShardedMatrix
+from tpusolve.matrix.spmv import spmv
+from tpusolve.matrix.vectors import to_device_vector, from_device_vector
+from tpusolve.mesh import row_decomposition, local_range
+from tpusolve.timers import Timers
+from tpusolve.harness.check import check_solution  # noqa: F401 (re-export)
+from tpusolve.krylov import (
+    pcg_setup, gmres_setup, cogmres_setup, fgmres_setup, bicgstab_setup)
+from tpusolve.amg import boomeramg_setup
+from tpusolve.ilu import ilu_setup
+from tpusolve.stencil import laplace27
+
+import scipy.sparse as sp
+
+
+class LinearSystem:
+    def __init__(self, mesh, config: AppConfig, verbose: bool = True):
+        self.mesh = mesh
+        self.config = config
+        self.verbose = verbose
+        self.timers = Timers()
+
+        ls = config.linear_system
+        self.num_components = ls.num_components
+        self.segregated = ls.segregated_solve
+        self.num_solves = ls.num_components if self.segregated else 1
+        self.rtol = ls.rtol
+        self.atol = ls.atol
+        self.check_enabled = False
+
+        prec = config.solver.precision
+        self.dtype = np.float64 if prec == "double" else np.float32
+
+        self.A: ShardedMatrix | None = None
+        self.A_host: sp.csr_matrix | None = None
+        self.rhs: list[jax.Array] = []
+        self.sln: list[jax.Array] = []
+        self.sln_ref: list[np.ndarray] = []
+        self.solve_results = []
+        self._precond = None
+        self._method = None
+        self._precond_name = None
+
+    # ------------------------------------------------------------------
+    def _log(self, msg):
+        if self.verbose:
+            print(msg, flush=True)
+
+    # ------------------------------------------------------------------
+    def setup_precon_and_solver(self):
+        """Resolve method/preconditioner names (ref:
+        src/HypreSystem.cpp:49-89).  Like the reference, this only selects
+        and configures — operator-dependent setup happens inside solve()."""
+        s = self.config.solver
+        method = s.method.lower()
+        precond = (s.preconditioner or "none").lower()
+        valid_methods = {"gmres", "cogmres", "fgmres", "bicg", "bicgstab",
+                         "cg", "pcg", "boomeramg", "ilu"}
+        if method not in valid_methods:
+            raise ValueError(f"Invalid method provided: {method}")
+        if precond not in {"boomeramg", "ilu", "none"}:
+            raise ValueError(f"Invalid preconditioner provided: {precond}")
+        self._method = method
+        self._precond_name = precond
+        self._log(f"Setting up solver: {method}; preconditioner: {precond}")
+
+    # ------------------------------------------------------------------
+    def load(self):
+        """Dispatch on linear_system.type (ref: src/HypreSystem.cpp:16-47)."""
+        ls = self.config.linear_system
+        kind = ls.type
+        if kind == "matrix_market":
+            self._load_matrix_market()
+        elif kind == "hypre_ij":
+            self._load_hypre_ij()
+        elif kind == "build_27pt_stencil":
+            self._build_27pt_stencil()
+        else:
+            raise RuntimeError(f"Invalid linear system type option: {kind}")
+
+    # ------------------------------------------------------------------
+    def _assemble(self, rows, cols, vals, n):
+        """COO -> sharded device matrix + host CSR (for precond setup)."""
+        with self.timers.span("Initialize system"):
+            offsets = row_decomposition(n, self.mesh.devices.size)
+            if self.verbose:
+                for p in range(min(self.mesh.devices.size, 8)):
+                    lo, hi = local_range(offsets, p)
+                    self._log(f"  Shard {p:4d}:: iLower = {lo:9d}; "
+                              f"iUpper = {hi:9d}; numRows = {hi - lo + 1}")
+        with self.timers.span("Assemble system"):
+            self.A = ShardedMatrix.from_coo(
+                self.mesh, (n, n), rows, cols, vals, dtype=self.dtype,
+                row_offsets=offsets)
+            self.A_host = sp.csr_matrix(
+                (vals, (rows, cols)), shape=(n, n))
+            self.A_host.sum_duplicates()
+
+    def _stage_vector(self, vec_np):
+        return to_device_vector(self.mesh, vec_np, self.A.row_offsets,
+                                self.A.row_pad, dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    def _load_matrix_market(self):
+        ls = self.config.linear_system
+        with self.timers.span("Matrix market : determine system size"):
+            info = mmio.read_info(ls.matrix_file)
+            n = info.nrows * (2 if ls.complex_numbers else 1)
+        self._log(f"Loading matrix market file: {ls.matrix_file} "
+                  f"({n} rows)")
+        with self.timers.span("Matrix market : read and build matrix"):
+            rows, cols, vals, shape = mmio.read_matrix(ls.matrix_file)
+            if ls.complex_numbers:
+                rows, cols, vals, shape = mmio.expand_complex_to_real(
+                    rows, cols, vals, shape)
+            elif np.iscomplexobj(vals):
+                raise RuntimeError(
+                    "complex matrix file requires complex_numbers: true")
+        self._assemble(rows, cols, np.real(vals), n)
+        with self.timers.span("Matrix market : read and build vector"):
+            for rf in ls.rhs_files:
+                v = mmio.read_vector(rf)
+                if ls.complex_numbers:
+                    v = mmio.expand_complex_vector(v)
+                self.rhs.append(self._stage_vector(np.real(v)))
+            for sf in ls.sln_files:
+                v = mmio.read_vector(sf)
+                if ls.complex_numbers:
+                    v = mmio.expand_complex_vector(v)
+                self.sln_ref.append(np.real(v))
+        self.check_enabled = bool(self.sln_ref) and \
+            len(self.sln_ref) == len(self.rhs)
+
+    # ------------------------------------------------------------------
+    def _load_hypre_ij(self):
+        ls = self.config.linear_system
+        nfiles = ls.num_partitions or 1
+        with self.timers.span("IJ : determine system size"):
+            n = ij.num_global_rows(ls.matrix_file, nfiles)
+        self._log(f"Loading HYPRE IJ files: {ls.matrix_file} x{nfiles} "
+                  f"({n} rows)")
+        with self.timers.span("IJ : read and build matrix"):
+            rows, cols, vals = ij.read_matrix(ls.matrix_file, nfiles)
+        self._assemble(rows, cols, vals, n)
+        with self.timers.span("IJ : read and build vector"):
+            for rf in ls.rhs_files:
+                self.rhs.append(self._stage_vector(
+                    ij.read_dense_vector(rf, nfiles, n)))
+            for sf in ls.sln_files:
+                self.sln_ref.append(ij.read_dense_vector(sf, nfiles, n))
+        self.check_enabled = bool(self.sln_ref) and \
+            len(self.sln_ref) == len(self.rhs)
+
+    # ------------------------------------------------------------------
+    def _build_27pt_stencil(self):
+        ls = self.config.linear_system
+        with self.timers.span("Build 27Pt Stencil HYPRE matrix"):
+            A, b, x_ref, A_host = laplace27(
+                self.mesh, ls.nx, ls.ny, ls.nz, dtype=self.dtype,
+                with_host=True)
+            self.A = A
+            self.A_host = A_host
+            self.rhs = [b]
+            self.sln_ref = [np.ones(A.shape[0])]
+        n = A.shape[0]
+        self._log(f"Built 27-pt stencil system: {ls.nx}x{ls.ny}x{ls.nz} "
+                  f"per device, {n} global rows")
+        self.check_enabled = True
+        self.num_solves = 1
+
+    # ------------------------------------------------------------------
+    def _build_preconditioner(self):
+        name = self._precond_name
+        if name == "none":
+            return None, None
+        if name == "boomeramg":
+            pre = boomeramg_setup(self.A, self.config.boomeramg,
+                                  A_host=self.A_host)
+            if self.verbose:
+                self._log(pre.describe())
+            return pre, pre.apply
+        if name == "ilu":
+            pre = ilu_setup(self.A, self.config.ilu, A_host=self.A_host)
+            for note in pre.notes:
+                self._log(f"  note: {note}")
+            return pre, pre.apply
+        raise ValueError(name)
+
+    def _build_solver(self, M):
+        s = self.config.solver
+        kw = dict(tol=s.tolerance, maxiter=s.max_iterations)
+        method = self._method
+        if method in ("cg", "pcg"):
+            return pcg_setup(self.A, M, **kw)
+        if method == "gmres":
+            return gmres_setup(self.A, M, restart=s.kspace, **kw)
+        if method == "cogmres":
+            return cogmres_setup(self.A, M, restart=s.kspace, cgs=s.cgs, **kw)
+        if method == "fgmres":
+            return fgmres_setup(self.A, M, restart=s.kspace, **kw)
+        if method in ("bicg", "bicgstab"):
+            return bicgstab_setup(self.A, M, **kw)
+        if method == "boomeramg":
+            # AMG as the solver (ref: setup_boomeramg_solver,
+            # src/HypreSystem.cpp:91-117) — reuse AMG's own tolerance keys
+            pre = self._amg_solver_pre = boomeramg_setup(
+                self.A, self.config.boomeramg, A_host=self.A_host)
+            return lambda b, x0=None: pre.solve(
+                b, x0, tol=s.tolerance, maxiter=s.max_iterations)
+        if method == "ilu":
+            # ILU as the solver (ref: setup_ilu, src/HypreSystem.cpp:457-497):
+            # stationary iteration x += M(b - A x)
+            pre = ilu_setup(self.A, self.config.ilu, A_host=self.A_host)
+            return self._stationary_solver(pre.apply, s)
+        raise ValueError(method)
+
+    def _stationary_solver(self, M_apply, s):
+        A = self.A
+
+        def solve(b, x0=None):
+            from tpusolve.krylov.common import SolveResult, norm
+            x = jnp.zeros_like(b) if x0 is None else x0
+            bnorm = float(norm(b))
+            target = max(s.tolerance * bnorm, 0.0)
+            rnorm = bnorm
+            it = 0
+            while it < s.max_iterations and rnorm > target:
+                r = b - spmv(A, x)
+                x = x + M_apply(r)
+                rnorm = float(norm(b - spmv(A, x)))
+                it += 1
+            return SolveResult(x=x, iters=jnp.int32(it),
+                               relres=jnp.asarray(rnorm / bnorm if bnorm else 0.0),
+                               converged=jnp.bool_(rnorm <= target))
+        return solve
+
+    # ------------------------------------------------------------------
+    def solve(self):
+        """Preconditioner setup + solve per component
+        (ref: src/HypreSystem.cpp:673-737)."""
+        with self.timers.span("Preconditioner setup") as fence:
+            self._precond, M = (None, None)
+            if self._method not in ("boomeramg", "ilu"):
+                self._precond, M = self._build_preconditioner()
+            solver = self._build_solver(M)
+
+        if self.config.linear_system.write_amg_matrices and \
+                self._precond is not None and hasattr(self._precond, "levels"):
+            with self.timers.span("Write AMG Matrices"):
+                self._write_amg_matrices()
+
+        with self.timers.span("Solve") as fence:
+            self.solve_results = []
+            self.sln = []
+            if self.segregated or len(self.rhs) <= 1:
+                for i in range(len(self.rhs)):
+                    res = solver(self.rhs[i])
+                    self.solve_results.append(res)
+                    self.sln.append(res.x)
+            else:
+                # coupled multi-component solve: batch the RHS dimension
+                # (reference multivector path, src/HypreSystem.h:261-263)
+                batched = jax.vmap(lambda b: solver(b))
+                res = batched(jnp.stack(self.rhs))
+                for i in range(len(self.rhs)):
+                    self.solve_results.append(jax.tree.map(
+                        lambda a: a[i], res))
+                    self.sln.append(res.x[i])
+            fence(*self.sln)
+
+        for i, res in enumerate(self.solve_results):
+            self._log(f"Solve {i}: iters={int(res.iters)} "
+                      f"relres={float(res.relres):.3e} "
+                      f"converged={bool(res.converged)}")
+
+    # ------------------------------------------------------------------
+    def check_solution(self):
+        """Golden check (ref: src/HypreSystem.cpp:771-845)."""
+        if not self.check_enabled:
+            self._log("Solution check skipped (no reference solution)")
+            return True
+        with self.timers.span("Check solution"):
+            all_pass = True
+            for i, x_dev in enumerate(self.sln):
+                x = from_device_vector(x_dev, self.A.row_offsets,
+                                       self.A.row_pad)
+                passed, nbad = check_solution(
+                    x, self.sln_ref[i], self.rtol, self.atol,
+                    verbose=self.verbose)
+                all_pass &= passed
+        return all_pass
+
+    # ------------------------------------------------------------------
+    def output_linear_system(self):
+        """Write matrix/rhs/sln as IJ files
+        (ref: src/HypreSystem.cpp:739-769)."""
+        ls = self.config.linear_system
+        if not (ls.write_outputs or ls.write_solution):
+            return
+        with self.timers.span("Output system"):
+            offsets = np.asarray(self.A.row_offsets)
+            nparts = self.A.nparts
+            if ls.write_outputs:
+                Ac = self.A_host.tocoo()
+                ij.write_matrix(ls.output_matrix_name, Ac.row, Ac.col,
+                                Ac.data, offsets, ncols=self.A.shape[1])
+                for i, b in enumerate(self.rhs):
+                    ij.write_vector(f"IJV{i}.rhs",
+                                    from_device_vector(b, self.A.row_offsets,
+                                                       self.A.row_pad),
+                                    offsets)
+            for i, x in enumerate(self.sln):
+                ij.write_vector(f"IJV{i}.sln",
+                                from_device_vector(x, self.A.row_offsets,
+                                                   self.A.row_pad),
+                                offsets)
+
+    def _write_amg_matrices(self):
+        """Per-level operator dump (ref: src/HypreSystem.cpp:700-714),
+        re-loadable by the hypre_ij reader."""
+        offsets_of = lambda M: np.asarray(M.row_offsets)
+        for lvl, level in enumerate(self._precond.levels):
+            Mh = level.A.to_scipy().tocoo()
+            ij.write_matrix(f"IJM.mat_level_{lvl}", Mh.row, Mh.col, Mh.data,
+                            offsets_of(level.A), ncols=level.A.shape[1])
+
+    # ------------------------------------------------------------------
+    def summarize_timers(self):
+        self._log(self.timers.summarize())
+
+    def retrieve_timers(self, profile):
+        profile.append(self.timers)
+
+    def destroy_system(self):
+        self.A = None
+        self.A_host = None
+        self.rhs = []
+        self.sln = []
+        self._precond = None
