@@ -20,6 +20,7 @@ reference's reach into ``hypre_ParAMGData`` for the AMG-matrix dump
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -39,6 +40,7 @@ from tpusolve.amg import interp as interp_mod
 from tpusolve.amg import galerkin
 from tpusolve.amg import smoothers
 from tpusolve.krylov.common import SolveResult, norm, safe_div, stop_target
+from tpusolve.krylov.stationary import stationary_solve_setup
 
 
 @dataclass
@@ -62,6 +64,7 @@ class AMGPreconditioner:
     notes: list[str]
     _cycle: Any = None               # jitted cycle closure
     num_levels: int = 0
+    _solvers: dict = dataclasses.field(default_factory=dict)
 
     def apply(self, r):
         """z = (one AMG cycle)(r) from zero initial guess — the
@@ -71,25 +74,17 @@ class AMGPreconditioner:
     def solve(self, b, x0=None, tol: float | None = None,
               maxiter: int | None = None) -> SolveResult:
         """Standalone AMG iteration (reference method ``boomeramg``,
-        src/HypreSystem.cpp:91-117): stationary cycles until tol."""
+        src/HypreSystem.cpp:91-117): stationary cycles until tol, as one
+        jitted while_loop (op-by-op dispatch is prohibitively slow on
+        remote TPU backends)."""
         cfg = self.config
         tol = cfg.tolerance if tol is None else tol
         maxiter = cfg.max_iterations if maxiter is None else maxiter
-        A = self.levels[0].A
-        x = jnp.zeros_like(b) if x0 is None else x0
-        bnorm = float(norm(b))
-        target = max(tol * bnorm, 0.0)
-        rnorm = float(norm(b - spmv(A, x)))
-        it = 0
-        while it < maxiter and rnorm > target:
-            r = b - spmv(A, x)
-            x = x + self._cycle(r)
-            rnorm = float(norm(b - spmv(A, x)))
-            it += 1
-        relres = rnorm / bnorm if bnorm else 0.0
-        return SolveResult(x=x, iters=jnp.int32(it),
-                           relres=jnp.asarray(relres, b.dtype),
-                           converged=jnp.bool_(rnorm <= target or tol == 0.0))
+        key = (float(tol), int(maxiter))
+        if key not in self._solvers:
+            self._solvers[key] = stationary_solve_setup(
+                self.levels[0].A, self._cycle, tol=tol, maxiter=maxiter)
+        return self._solvers[key](b, x0)
 
     def describe(self) -> str:
         """Grid/operator complexity table (hypre print_level>=1 analog)."""

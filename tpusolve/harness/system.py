@@ -237,29 +237,11 @@ class LinearSystem:
         if method == "ilu":
             # ILU as the solver (ref: setup_ilu, src/HypreSystem.cpp:457-497):
             # stationary iteration x += M(b - A x)
+            from tpusolve.krylov.stationary import stationary_solve_setup
             pre = ilu_setup(self.A, self.config.ilu, A_host=self.A_host)
-            return self._stationary_solver(pre.apply, s)
+            return stationary_solve_setup(self.A, pre.apply, tol=s.tolerance,
+                                          maxiter=s.max_iterations)
         raise ValueError(method)
-
-    def _stationary_solver(self, M_apply, s):
-        A = self.A
-
-        def solve(b, x0=None):
-            from tpusolve.krylov.common import SolveResult, norm
-            x = jnp.zeros_like(b) if x0 is None else x0
-            bnorm = float(norm(b))
-            target = max(s.tolerance * bnorm, 0.0)
-            rnorm = bnorm
-            it = 0
-            while it < s.max_iterations and rnorm > target:
-                r = b - spmv(A, x)
-                x = x + M_apply(r)
-                rnorm = float(norm(b - spmv(A, x)))
-                it += 1
-            return SolveResult(x=x, iters=jnp.int32(it),
-                               relres=jnp.asarray(rnorm / bnorm if bnorm else 0.0),
-                               converged=jnp.bool_(rnorm <= target))
-        return solve
 
     # ------------------------------------------------------------------
     def solve(self):

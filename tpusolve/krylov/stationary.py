@@ -1,0 +1,45 @@
+"""Stationary (fixed-point) iteration: x <- x + M(b - A x).
+
+Used for AMG-as-solver (ref: setup_boomeramg_solver,
+src/HypreSystem.cpp:91-117) and ILU-as-solver (ref: setup_ilu,
+src/HypreSystem.cpp:457-497).  One jitted ``while_loop`` — never op-by-op
+dispatch (each eager op is a full round-trip on remote TPU backends).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpusolve.krylov.common import (
+    SolveResult, as_matvec, as_precond, norm, safe_div, stop_target)
+
+
+def stationary_solve_setup(A, M, *, tol: float = 0.0, atol: float = 0.0,
+                           maxiter: int = 1):
+    matvec = as_matvec(A)
+    precond = as_precond(M)
+
+    @jax.jit
+    def solve(b, x0=None):
+        x = jnp.zeros_like(b) if x0 is None else x0
+        bnorm = norm(b)
+        target = stop_target(bnorm, tol, atol)
+        rnorm = norm(b - matvec(x))
+
+        def cond(state):
+            x, rnorm, it = state
+            return (it < maxiter) & (rnorm > target)
+
+        def body(state):
+            x, _, it = state
+            r = b - matvec(x)
+            x = x + precond(r)
+            return x, norm(b - matvec(x)), it + 1
+
+        x, rnorm, it = lax.while_loop(cond, body, (x, rnorm, jnp.int32(0)))
+        return SolveResult(x=x, iters=it, relres=safe_div(rnorm, bnorm),
+                           converged=rnorm <= target)
+
+    return solve

@@ -9,14 +9,22 @@ src/HypreSystem.cpp:552-636, 679).
 The TPU-native equivalent here:
 
 * the row dimension is sharded over a 1-D ``jax.sharding.Mesh`` axis;
-* each device holds **padded-ELL** diag/offd blocks — every row padded to a
-  fixed width so all shapes are static and gathers vectorize over 8x128
-  lanes (padding entries carry value 0 and column 0, so they contribute
-  nothing to SpMV);
+* each device's **diag block** is stored in one of two layouts chosen at
+  assembly (the kernel-selection analog of the reference's vendor-SpMV
+  toggles, src/main.cpp:137-145):
+
+  - **DIA (diagonal)** when the block's entries concentrate on few
+    (col - row) offsets — true for every mesh/stencil operator.  SpMV is
+    then D statically-shifted fused multiply-adds: zero gathers, no index
+    array to stream.  This is the TPU-first choice: random gathers are
+    catastrophically slow on TPU, while shifted streaming reads run at HBM
+    speed of light.
+  - **padded-ELL** otherwise — every row padded to a fixed width (padding
+    entries carry value 0 / column 0).
+
+* the **offd block** (ghost columns) stays padded-ELL;
 * the halo exchange is a precomputed static plan executed as one
-  ``lax.all_to_all`` over ICI per SpMV: ``send_idx[q]`` lists the local
-  x-entries each peer ``q`` needs, and ``ghost_slot`` maps positions of the
-  received buffer into the device's ghost ordering;
+  ``lax.all_to_all`` over ICI per SpMV;
 * rows and columns may have different decompositions (rectangular
   operators: AMG interpolation/restriction).
 
@@ -33,15 +41,18 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from functools import cached_property
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tpusolve.mesh import ROWS_AXIS, row_decomposition
 from tpusolve.matrix import coo as coo_mod
+
+# DIA is used when the diag block has at most this many distinct offsets...
+DIA_MAX_OFFSETS = 96
+# ...and the dense-diagonal storage is at least this full of real entries
+DIA_MIN_FILL = 0.2
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -52,8 +63,9 @@ def _ceil_to(x: int, m: int) -> int:
 @dataclass(frozen=True)
 class ShardedMatrix:
     # --- device data (leading axis = shard) ---
-    diag_vals: jax.Array   # (Pn, R, Kd) float
+    diag_vals: jax.Array   # (Pn, R, Kd) float ELL values (minimal if DIA)
     diag_cols: jax.Array   # (Pn, R, Kd) int32, local col index
+    dia_vals: jax.Array | None  # (Pn, R, D) diagonal-format values, or None
     offd_vals: jax.Array   # (Pn, R, Ko) float
     offd_cols: jax.Array   # (Pn, R, Ko) int32, ghost slot index
     send_idx: jax.Array    # (Pn, Pn, S) int32, local x-indices sent to peer q
@@ -65,6 +77,7 @@ class ShardedMatrix:
     col_offsets: tuple = dataclasses.field(metadata=dict(static=True))
     row_pad: int = dataclasses.field(metadata=dict(static=True))
     col_pad: int = dataclasses.field(metadata=dict(static=True))
+    dia_offsets: tuple | None = dataclasses.field(metadata=dict(static=True))
     mesh: jax.sharding.Mesh = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
@@ -90,11 +103,15 @@ class ShardedMatrix:
     def is_square(self) -> bool:
         return self.shape[0] == self.shape[1] and self.row_offsets == self.col_offsets
 
+    @property
+    def uses_dia(self) -> bool:
+        return self.dia_offsets is not None
+
     # ------------------------------------------------------------------
     @staticmethod
     def from_coo(mesh, shape, rows, cols, vals, *, dtype=None, dedup="add",
                  row_offsets=None, col_offsets=None, axis: str = ROWS_AXIS,
-                 ell_align: int = 1):
+                 ell_align: int = 1, allow_dia: bool = True):
         """Assemble a global COO into the sharded format.
 
         Implements the full IJ ``SetValues/AddToValues + Assemble`` pipeline
@@ -122,17 +139,18 @@ class ShardedMatrix:
         parts = coo_mod.bucket_by_owner(r, c, v, row_offsets)
         return ShardedMatrix.from_local_parts(
             mesh, shape, parts, dtype=dtype, row_offsets=row_offsets,
-            col_offsets=col_offsets, axis=axis, ell_align=ell_align)
+            col_offsets=col_offsets, axis=axis, ell_align=ell_align,
+            allow_dia=allow_dia)
 
     @staticmethod
     def from_local_parts(mesh, shape, parts, *, dtype=None, row_offsets=None,
                          col_offsets=None, axis: str = ROWS_AXIS,
-                         ell_align: int = 1):
+                         ell_align: int = 1, allow_dia: bool = True):
         """Assemble from per-shard (local_rows, global_cols, vals) triples.
 
         ``parts[p]`` holds entries whose global row lies in part ``p``'s row
         block, with rows already localized.  Entries must be unique per
-        (row, col) and sorted by (row, col).  This is the fast path used by
+        (row, col) but may be in any order.  This is the fast path used by
         generators that build their shard directly (the analog of the
         reference's on-device stencil assembly, src/HypreSystem.cpp:1476-1608).
         """
@@ -156,10 +174,13 @@ class ShardedMatrix:
         col_counts = np.diff(col_offsets)
         row_pad = max(1, int(row_counts.max()))
         col_pad = max(1, int(col_counts.max()))
+        same_partition = np.array_equal(row_offsets, col_offsets)
 
-        # --- split diag/offd, compute ghost lists, per-row widths ---
+        # --- split diag/offd, ghost lists, DIA candidacy ---
         diag_parts, offd_parts, ghost_lists = [], [], []
-        kd = ko = 1
+        dia_offset_sets = []
+        total_diag_nnz = 0
+        ko = 1
         for p in range(nparts):
             lr, gc, v = parts[p]
             lr = np.asarray(lr, np.int64)
@@ -171,26 +192,30 @@ class ShardedMatrix:
             olr, ogc, ov = lr[~is_diag], gc[~is_diag], v[~is_diag]
             ghosts = np.unique(ogc)
             og = np.searchsorted(ghosts, ogc)
-            diag_parts.append((dlr, dlc.astype(np.int64), dv))
-            offd_parts.append((olr, og.astype(np.int64), ov))
+            diag_parts.append((dlr, dlc, dv))
+            offd_parts.append((olr, og, ov))
             ghost_lists.append(ghosts)
+            total_diag_nnz += dlr.size
+            if allow_dia and same_partition and dlr.size:
+                dia_offset_sets.append(np.unique(dlc - dlr))
             nr = int(row_counts[p])
-            if dlr.size:
-                kd = max(kd, int(np.bincount(dlr, minlength=nr).max()))
             if olr.size:
                 ko = max(ko, int(np.bincount(olr, minlength=nr).max()))
-        kd = _ceil_to(kd, ell_align)
         ko = _ceil_to(ko, ell_align)
         ghost_pad = max(1, max(g.size for g in ghost_lists))
 
-        # --- halo plan: what each owner sends to each peer ---
-        # column ownership is a contiguous block partition, so each ghost
-        # list is already grouped by owner; positions within the group give
-        # the recv-slot layout directly.
+        use_dia = False
+        dia_union = None
+        if allow_dia and same_partition and dia_offset_sets and total_diag_nnz:
+            dia_union = np.unique(np.concatenate(dia_offset_sets))
+            D = dia_union.size
+            fill = total_diag_nnz / max(D * nparts * row_pad, 1)
+            use_dia = 0 < D <= DIA_MAX_OFFSETS and fill >= DIA_MIN_FILL
+
+        # --- halo plan ---
         send_counts = np.zeros((nparts, nparts), np.int64)
         for q in range(nparts):
-            gl = ghost_lists[q]
-            st = np.searchsorted(gl, col_offsets)
+            st = np.searchsorted(ghost_lists[q], col_offsets)
             send_counts[:, q] = np.diff(st)
         send_pad = max(1, int(send_counts.max()))
 
@@ -206,43 +231,130 @@ class ShardedMatrix:
                 seg = gl[st[p]:st[p + 1]] - col_offsets[p]
                 send_idx[p, q, :seg.size] = seg
 
-        # --- ELL pack ---
-        dvals = np.zeros((nparts, row_pad, kd), dtype)
-        dcols = np.zeros((nparts, row_pad, kd), np.int32)
+        # --- diag block: DIA or ELL ---
+        if use_dia:
+            D = dia_union.size
+            dia_vals = np.zeros((nparts, row_pad, D), dtype)
+            for p in range(nparts):
+                dlr, dlc, dv = diag_parts[p]
+                if dlr.size:
+                    slot = np.searchsorted(dia_union, dlc - dlr)
+                    dia_vals[p][dlr, slot] = dv
+            kd = 1
+            dvals = np.zeros((nparts, row_pad, 1), dtype)
+            dcols = np.zeros((nparts, row_pad, 1), np.int32)
+            dia_offsets = tuple(int(o) for o in dia_union)
+        else:
+            kd = 1
+            for p in range(nparts):
+                dlr = diag_parts[p][0]
+                if dlr.size:
+                    kd = max(kd, int(np.bincount(
+                        dlr, minlength=int(row_counts[p])).max()))
+            kd = _ceil_to(kd, ell_align)
+            dvals = np.zeros((nparts, row_pad, kd), dtype)
+            dcols = np.zeros((nparts, row_pad, kd), np.int32)
+            for p in range(nparts):
+                _ell_fill(dvals[p], dcols[p], *diag_parts[p])
+            dia_vals = None
+            dia_offsets = None
+
+        # --- offd block: always ELL ---
         ovals = np.zeros((nparts, row_pad, ko), dtype)
         ocols = np.zeros((nparts, row_pad, ko), np.int32)
+        for p in range(nparts):
+            _ell_fill(ovals[p], ocols[p], *offd_parts[p])
+
+        # --- main diagonal (square, same partition) ---
         diag_main = np.zeros((nparts, row_pad), dtype)
         for p in range(nparts):
             nr = int(row_counts[p])
-            _ell_fill(dvals[p], dcols[p], *diag_parts[p], nr)
-            _ell_fill(ovals[p], ocols[p], *offd_parts[p], nr)
             diag_main[p, nr:] = 1.0  # padded rows: unit diagonal
-            dlr, dlc, dv = diag_parts[p]
-            if row_offsets[p] == col_offsets[p] and dlr.size:
-                on_diag = dlc == dlr
-                diag_main[p, dlr[on_diag]] += dv[on_diag]
+            if same_partition and row_offsets[p] == col_offsets[p]:
+                dlr, dlc, dv = diag_parts[p]
+                if dlr.size:
+                    on_diag = dlc == dlr
+                    diag_main[p, dlr[on_diag]] += dv[on_diag]
 
         sharding = NamedSharding(mesh, P(axis))
         put = lambda a: jax.device_put(a, sharding)
-        nnz = int(sum(p[2].size for p in parts))
+        nnz = int(sum(np.asarray(p[2]).size for p in parts))
         return ShardedMatrix(
             diag_vals=put(dvals), diag_cols=put(dcols),
+            dia_vals=put(dia_vals) if use_dia else None,
             offd_vals=put(ovals), offd_cols=put(ocols),
             send_idx=put(send_idx), ghost_slot=put(ghost_slot),
             diag=put(diag_main),
             shape=(int(nrows), int(ncols)),
             row_offsets=tuple(int(o) for o in row_offsets),
             col_offsets=tuple(int(o) for o in col_offsets),
-            row_pad=row_pad, col_pad=col_pad, mesh=mesh, axis=axis, nnz=nnz)
+            row_pad=row_pad, col_pad=col_pad, dia_offsets=dia_offsets,
+            mesh=mesh, axis=axis, nnz=nnz)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_dia_parts(mesh, shape, dia_offsets, dia_vals, offd_parts, *,
+                       dtype=None, row_offsets=None, col_offsets=None,
+                       axis: str = ROWS_AXIS):
+        """Assemble directly from per-shard diagonal-format diag blocks.
+
+        ``dia_vals``: (nparts, row_pad, D) host array — the diag block in
+        DIA layout (row-padded, zeros in padding).  ``offd_parts``: list of
+        (local_rows, global_cols, vals) for off-owner entries per shard.
+        This is the zero-copy fast path for structured generators (the
+        stencil generator's diag block is pure local-box geometry).
+        """
+        nrows, ncols = shape
+        nparts = mesh.devices.size
+        if row_offsets is None:
+            row_offsets = row_decomposition(nrows, nparts)
+        row_offsets = np.asarray(row_offsets, np.int64)
+        col_offsets = (row_offsets if col_offsets is None
+                       else np.asarray(col_offsets, np.int64))
+        if dtype is None:
+            dtype = dia_vals.dtype
+        dia_vals = np.asarray(dia_vals, dtype)
+        nparts_d, row_pad, D = dia_vals.shape
+        if nparts_d != nparts:
+            raise ValueError("dia_vals leading dim != mesh size")
+        row_counts = np.diff(row_offsets)
+
+        (ovals, ocols, send_idx, ghost_slot, offd_nnz) = _build_offd_and_halo(
+            nparts, row_pad, row_counts, col_offsets, offd_parts, dtype, 1)
+
+        dia_offsets = tuple(int(o) for o in dia_offsets)
+        diag_main = np.zeros((nparts, row_pad), dtype)
+        if 0 in dia_offsets:
+            diag_main[:] = dia_vals[:, :, dia_offsets.index(0)]
+        for p in range(nparts):
+            diag_main[p, int(row_counts[p]):] = 1.0
+
+        sharding = NamedSharding(mesh, P(axis))
+        put = lambda a: jax.device_put(a, sharding)
+        nnz = int(np.count_nonzero(dia_vals)) + offd_nnz
+        dummy = np.zeros((nparts, row_pad, 1), dtype)
+        return ShardedMatrix(
+            diag_vals=put(dummy), diag_cols=put(dummy.astype(np.int32)),
+            dia_vals=put(dia_vals),
+            offd_vals=put(ovals), offd_cols=put(ocols),
+            send_idx=put(send_idx), ghost_slot=put(ghost_slot),
+            diag=put(diag_main),
+            shape=(int(nrows), int(ncols)),
+            row_offsets=tuple(int(o) for o in row_offsets),
+            col_offsets=tuple(int(o) for o in col_offsets),
+            row_pad=row_pad, col_pad=row_pad, dia_offsets=dia_offsets,
+            mesh=mesh, axis=axis, nnz=nnz)
 
     # ------------------------------------------------------------------
     def to_scipy(self):
-        """Reconstruct the global matrix as scipy CSR (testing/host use)."""
+        """Reconstruct the global matrix as scipy CSR (testing/host use).
+
+        Note: fetches device arrays — on the remote-tunnel TPU this is slow;
+        prefer keeping the host CSR from assembly time (``A_host`` plumbing).
+        """
         import scipy.sparse as sp
         ro = np.asarray(self.row_offsets)
         co = np.asarray(self.col_offsets)
-        dvals = np.asarray(self.diag_vals)
-        dcols = np.asarray(self.diag_cols)
         ovals = np.asarray(self.offd_vals)
         ocols = np.asarray(self.offd_cols)
         send_idx = np.asarray(self.send_idx)
@@ -251,19 +363,30 @@ class ShardedMatrix:
         rows, cols, vals = [], [], []
         for p in range(self.nparts):
             nr = int(ro[p + 1] - ro[p])
-            # rebuild ghost globals from the plan: slot -> owner, local idx
+            if self.uses_dia:
+                dv = np.asarray(self.dia_vals)[p]       # (R, D)
+                offs = np.asarray(self.dia_offsets)
+                r_idx, k_idx = np.nonzero(dv[:nr] != 0)
+                lc = r_idx + offs[k_idx]
+                rows.append(ro[p] + r_idx)
+                cols.append(co[p] + lc)
+                vals.append(dv[:nr][r_idx, k_idx])
+            else:
+                ev = np.asarray(self.diag_vals)[p]
+                ec = np.asarray(self.diag_cols)[p]
+                r_idx, k_idx = np.nonzero(ev[:nr] != 0)
+                rows.append(ro[p] + r_idx)
+                cols.append(co[p] + ec[:nr][r_idx, k_idx])
+                vals.append(ev[:nr][r_idx, k_idx])
+            # offd: rebuild ghost globals from the plan
             owners = ghost_slot[p] // S
             pos = ghost_slot[p] % S
             ghost_globals = co[owners] + send_idx[owners, p, pos]
-            for ell_v, ell_c, colmap in (
-                    (dvals[p], dcols[p], None),
-                    (ovals[p], ocols[p], ghost_globals)):
-                r_idx, k_idx = np.nonzero(ell_v[:nr] != 0)
-                lc = ell_c[:nr][r_idx, k_idx]
-                gcol = (co[p] + lc) if colmap is None else colmap[lc]
-                rows.append(ro[p] + r_idx)
-                cols.append(gcol)
-                vals.append(ell_v[:nr][r_idx, k_idx])
+            ev, ec = ovals[p], ocols[p]
+            r_idx, k_idx = np.nonzero(ev[:nr] != 0)
+            rows.append(ro[p] + r_idx)
+            cols.append(ghost_globals[ec[:nr][r_idx, k_idx]])
+            vals.append(ev[:nr][r_idx, k_idx])
         rows = np.concatenate(rows) if rows else np.zeros(0, np.int64)
         cols = np.concatenate(cols) if cols else np.zeros(0, np.int64)
         vals = np.concatenate(vals) if vals else np.zeros(0)
@@ -275,13 +398,67 @@ class ShardedMatrix:
         return self.diag.reshape(self.padded_nrows)
 
 
-def _ell_fill(vals_ell, cols_ell, lrows, lcols, vals, nrows):
-    """Scatter sorted-by-row COO into ELL rows (position = rank within row)."""
+def _build_offd_and_halo(nparts, row_pad, row_counts, col_offsets,
+                         offd_parts, dtype, ell_align):
+    """Shared offd-ELL + halo-plan construction.
+
+    offd_parts: per shard (local_rows, global_cols, vals) of off-owner
+    entries.  Returns (ovals, ocols, send_idx, ghost_slot, total_offd_nnz)
+    with ocols indexing each shard's sorted ghost list.
+    """
+    ghost_lists = []
+    local_offd = []
+    ko = 1
+    total = 0
+    for p in range(nparts):
+        olr, ogc, ov = offd_parts[p]
+        olr = np.asarray(olr, np.int64)
+        ogc = np.asarray(ogc, np.int64)
+        ov = np.asarray(ov, dtype)
+        ghosts = np.unique(ogc)
+        og = np.searchsorted(ghosts, ogc)
+        ghost_lists.append(ghosts)
+        local_offd.append((olr, og, ov))
+        total += olr.size
+        if olr.size:
+            ko = max(ko, int(np.bincount(
+                olr, minlength=int(row_counts[p])).max()))
+    ko = _ceil_to(ko, ell_align)
+    ghost_pad = max(1, max(g.size for g in ghost_lists))
+
+    send_counts = np.zeros((nparts, nparts), np.int64)
+    for q in range(nparts):
+        st = np.searchsorted(ghost_lists[q], col_offsets)
+        send_counts[:, q] = np.diff(st)
+    send_pad = max(1, int(send_counts.max()))
+
+    send_idx = np.zeros((nparts, nparts, send_pad), np.int32)
+    ghost_slot = np.zeros((nparts, ghost_pad), np.int32)
+    for q in range(nparts):
+        gl = ghost_lists[q]
+        st = np.searchsorted(gl, col_offsets)
+        owners = np.searchsorted(col_offsets, gl, side="right") - 1
+        pos = np.arange(gl.size) - st[owners]
+        ghost_slot[q, :gl.size] = owners * send_pad + pos
+        for p in range(nparts):
+            seg = gl[st[p]:st[p + 1]] - col_offsets[p]
+            send_idx[p, q, :seg.size] = seg
+
+    ovals = np.zeros((nparts, row_pad, ko), dtype)
+    ocols = np.zeros((nparts, row_pad, ko), np.int32)
+    for p in range(nparts):
+        _ell_fill(ovals[p], ocols[p], *local_offd[p])
+    return ovals, ocols, send_idx, ghost_slot, total
+
+
+def _ell_fill(vals_ell, cols_ell, lrows, lcols, vals):
+    """Scatter per-shard COO into ELL (position = rank within row).
+    Entries may be in any order; a stable row sort assigns slots."""
     if lrows.size == 0:
         return
-    counts = np.bincount(lrows, minlength=nrows)
-    starts = np.zeros(nrows + 1, np.int64)
-    np.cumsum(counts, out=starts[1:])
-    pos = np.arange(lrows.size) - starts[lrows]
-    vals_ell[lrows, pos] = vals
-    cols_ell[lrows, pos] = lcols.astype(np.int32)
+    order = np.argsort(lrows, kind="stable")
+    lr = lrows[order]
+    starts = np.searchsorted(lr, np.arange(vals_ell.shape[0] + 1))
+    pos = np.arange(lr.size) - starts[lr]
+    vals_ell[lr, pos] = vals[order]
+    cols_ell[lr, pos] = lcols[order].astype(np.int32)

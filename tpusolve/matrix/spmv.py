@@ -1,4 +1,4 @@
-"""Distributed SpMV: halo exchange + padded-ELL local kernel.
+"""Distributed SpMV: halo exchange + local DIA/ELL kernels.
 
 This is the hot kernel of the entire framework — the operation HYPRE
 performs inside every Krylov iteration and AMG cycle (consumed by the
@@ -8,14 +8,18 @@ src/main.cpp:137-145).
 Design (TPU-first):
 
 * ``shard_map`` over the matrix's 1-D mesh axis; each device sees its own
-  (row_pad, K) ELL blocks;
+  blocks;
 * halo exchange = gather of the statically planned send entries followed by
   **one** ``lax.all_to_all`` over ICI (replacing HYPRE's MPI neighbor
   point-to-point machinery);
-* local kernel = two gathers + fused multiply-reduce over the ELL width;
-  XLA fuses this into a single pass over the matrix bytes.  A Pallas
-  variant lives in tpusolve.kernels.ell_spmv (kernel-selection analog of
-  the reference's ``spmv_use_vendor``, ref: src/main.cpp:137-145).
+* **DIA local kernel** (structured matrices — chosen at assembly): each
+  stored diagonal contributes one statically-shifted fused multiply-add.
+  Zero gathers, no index traffic: the matrix bytes stream once at HBM
+  speed of light.  Random gathers are pathologically slow on TPU (measured
+  ~0.5 us/element through XLA gather on v5e), which makes this layout the
+  difference between speed-of-light and unusable;
+* **ELL local kernel** (general fallback): two gathers + multiply-reduce
+  over the padded row width.
 """
 
 from __future__ import annotations
@@ -47,17 +51,40 @@ def halo_exchange(x_loc, send_idx, ghost_slot, axis):
     return recv.reshape(-1)[ghost_slot]
 
 
-def ell_spmv_local(diag_vals, diag_cols, offd_vals, offd_cols, x_loc, ghosts):
-    """Per-device padded-ELL SpMV: y = A_diag x_loc + A_offd ghosts."""
-    y = jnp.sum(diag_vals * x_loc[diag_cols], axis=-1)
-    y = y + jnp.sum(offd_vals * ghosts[offd_cols], axis=-1)
+def ell_spmv_local(vals, cols, x):
+    """Padded-ELL block SpMV: y_i = sum_k vals[i,k] * x[cols[i,k]]."""
+    return jnp.sum(vals * x[cols], axis=-1)
+
+
+def dia_spmv_local(dia_vals, offsets, x):
+    """Diagonal-format block SpMV: y_i = sum_d dia_vals[i,d] * x[i+off_d].
+
+    ``offsets`` is a static tuple, so every shift is a static slice+pad that
+    XLA fuses into streaming reads."""
+    n = x.shape[0]
+    y = jnp.zeros(dia_vals.shape[0], x.dtype)
+    for k, off in enumerate(offsets):
+        if off == 0:
+            seg = x
+        elif off > 0:
+            seg = jnp.concatenate([x[off:], jnp.zeros(off, x.dtype)])
+        else:
+            seg = jnp.concatenate([jnp.zeros(-off, x.dtype), x[:off]])
+        y = y + dia_vals[:, k] * seg[: dia_vals.shape[0]]
     return y
 
 
-def _spmv_shard(axis, dv, dc, ov, oc, sidx, gslot, x_loc):
+def _spmv_shard_dia(axis, offsets, dia, ov, oc, sidx, gslot, x_loc):
+    dia, ov, oc, sidx, gslot = (a[0] for a in (dia, ov, oc, sidx, gslot))
+    y = dia_spmv_local(dia, offsets, x_loc)
+    ghosts = halo_exchange(x_loc, sidx, gslot, axis)
+    return y + ell_spmv_local(ov, oc, ghosts)
+
+
+def _spmv_shard_ell(axis, dv, dc, ov, oc, sidx, gslot, x_loc):
     dv, dc, ov, oc, sidx, gslot = (a[0] for a in (dv, dc, ov, oc, sidx, gslot))
     ghosts = halo_exchange(x_loc, sidx, gslot, axis)
-    return ell_spmv_local(dv, dc, ov, oc, x_loc, ghosts)
+    return ell_spmv_local(dv, dc, x_loc) + ell_spmv_local(ov, oc, ghosts)
 
 
 def spmv(A, x):
@@ -68,12 +95,15 @@ def spmv(A, x):
     A's *row* decomposition (shape ``(nparts * row_pad,)``).
     """
     spec = P(A.axis)
+    if A.uses_dia:
+        fn = shard_map(
+            partial(_spmv_shard_dia, A.axis, A.dia_offsets),
+            mesh=A.mesh, in_specs=(spec,) * 6, out_specs=spec)
+        return fn(A.dia_vals, A.offd_vals, A.offd_cols,
+                  A.send_idx, A.ghost_slot, x)
     fn = shard_map(
-        partial(_spmv_shard, A.axis),
-        mesh=A.mesh,
-        in_specs=(spec,) * 7,
-        out_specs=spec,
-    )
+        partial(_spmv_shard_ell, A.axis),
+        mesh=A.mesh, in_specs=(spec,) * 7, out_specs=spec)
     return fn(A.diag_vals, A.diag_cols, A.offd_vals, A.offd_cols,
               A.send_idx, A.ghost_slot, x)
 

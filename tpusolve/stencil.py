@@ -83,15 +83,88 @@ def _local_part(part, nx, ny, nz, pgrid, dtype):
     gc = ocol[sel]
     v = vals[sel].astype(dtype)
 
-    order = np.lexsort((gc, lr))
-    lr, gc, v = lr[order], gc[order], v[order]
-
     n_neighbors = valid.sum(axis=0) - 1                        # exclude center
     rhs = (26.0 - n_neighbors).astype(dtype)
     # rhs is indexed by lrow order; reorder to local-row order
     rhs_ordered = np.empty(box, dtype)
     rhs_ordered[lrow] = rhs
     return (lr, gc, v), rhs_ordered
+
+
+def _dia_box(nx, ny, nz, dtype):
+    """DIA values of the *diag block* for one local box.
+
+    A neighbor inside the local box is automatically inside the global
+    domain, so the diag block is pure local-box geometry — identical for
+    every part.  Returns (offsets (27,), dia_vals (box, 27))."""
+    ix = np.arange(nx)
+    iy = np.arange(ny)
+    iz = np.arange(nz)
+    dia = np.zeros((nz, ny, nx, 27), dtype)
+    offs = np.empty(27, np.int64)
+    for k, (dx, dy, dz) in enumerate(_OFFSETS):
+        offs[k] = dz * ny * nx + dy * nx + dx
+        if dx == dy == dz == 0:
+            dia[..., k] = 26.0
+            continue
+        mx = (ix + dx >= 0) & (ix + dx < nx)
+        my = (iy + dy >= 0) & (iy + dy < ny)
+        mz = (iz + dz >= 0) & (iz + dz < nz)
+        dia[..., k] = np.where(
+            mz[:, None, None] & my[None, :, None] & mx[None, None, :],
+            dtype(-1.0), dtype(0.0))
+    return offs, dia.reshape(nx * ny * nz, 27)
+
+
+def _local_offd_and_rhs(part, nx, ny, nz, pgrid, dtype):
+    """Off-owner (ghost shell) entries + RHS for one part."""
+    px, py, pz = pgrid
+    ipx, ipy, ipz = part_to_grid(part, pgrid)
+    gx_max, gy_max, gz_max = px * nx, py * ny, pz * nz
+    box = nx * ny * nz
+    ix = np.arange(nx)
+    iy = np.arange(ny)
+    iz = np.arange(nz)
+    gx0, gy0, gz0 = ipx * nx, ipy * ny, ipz * nz
+
+    count = np.zeros((nz, ny, nx), np.int8)
+    olr, ogc = [], []
+    for dx, dy, dz in _OFFSETS:
+        if dx == dy == dz == 0:
+            continue
+        dom_x = (gx0 + ix + dx >= 0) & (gx0 + ix + dx < gx_max)
+        dom_y = (gy0 + iy + dy >= 0) & (gy0 + iy + dy < gy_max)
+        dom_z = (gz0 + iz + dz >= 0) & (gz0 + iz + dz < gz_max)
+        in_dom = (dom_z[:, None, None] & dom_y[None, :, None]
+                  & dom_x[None, None, :])
+        count += in_dom
+        box_x = (ix + dx >= 0) & (ix + dx < nx)
+        box_y = (iy + dy >= 0) & (iy + dy < ny)
+        box_z = (iz + dz >= 0) & (iz + dz < nz)
+        in_box = (box_z[:, None, None] & box_y[None, :, None]
+                  & box_x[None, None, :])
+        crossing = in_dom & ~in_box
+        kz, ky, kx = np.nonzero(crossing)
+        if kx.size == 0:
+            continue
+        ngx = gx0 + kx + dx
+        ngy = gy0 + ky + dy
+        ngz = gz0 + kz + dz
+        opx, olx = np.divmod(ngx, nx)
+        opy, oly = np.divmod(ngy, ny)
+        opz, olz = np.divmod(ngz, nz)
+        opart = opz * (px * py) + opy * px + opx
+        olr.append(kz * ny * nx + ky * nx + kx)
+        ogc.append(opart * box + olz * (ny * nx) + oly * nx + olx)
+    if olr:
+        olr = np.concatenate(olr)
+        ogc = np.concatenate(ogc)
+    else:
+        olr = np.zeros(0, np.int64)
+        ogc = np.zeros(0, np.int64)
+    ov = np.full(olr.shape, -1.0, dtype)
+    rhs = (26.0 - count.reshape(-1)).astype(dtype)
+    return (olr, ogc, ov), rhs
 
 
 def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
@@ -117,14 +190,27 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
     box = nx * ny * nz
     n = box * nparts
 
-    parts, rhs_parts = [], []
-    for part in range(nparts):
-        p, rhs = _local_part(part, nx, ny, nz, pgrid, dtype)
-        parts.append(p)
-        rhs_parts.append(rhs)
-
-    A = ShardedMatrix.from_local_parts(mesh, (n, n), parts, dtype=dtype,
-                                       axis=axis)
+    if nx >= 3 and ny >= 3:
+        # fast path: diag block = shared DIA geometry, offd = boundary shell
+        offs, dia_one = _dia_box(nx, ny, nz, dtype)
+        dia_vals = np.broadcast_to(dia_one[None], (nparts, box, 27))
+        offd_parts, rhs_parts = [], []
+        for part in range(nparts):
+            offd, rhs = _local_offd_and_rhs(part, nx, ny, nz, pgrid, dtype)
+            offd_parts.append(offd)
+            rhs_parts.append(rhs)
+        A = ShardedMatrix.from_dia_parts(mesh, (n, n), offs, dia_vals,
+                                         offd_parts, dtype=dtype, axis=axis)
+        parts = None
+    else:
+        # tiny boxes can alias DIA offsets; use the generic COO path
+        parts, rhs_parts = [], []
+        for part in range(nparts):
+            p, rhs = _local_part(part, nx, ny, nz, pgrid, dtype)
+            parts.append(p)
+            rhs_parts.append(rhs)
+        A = ShardedMatrix.from_local_parts(mesh, (n, n), parts, dtype=dtype,
+                                           axis=axis)
     rhs_global = np.concatenate(rhs_parts)
     b = to_device_vector(mesh, rhs_global, A.row_offsets, A.row_pad,
                          dtype=dtype, axis=axis)
@@ -132,13 +218,30 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
                              A.row_pad, dtype=dtype, axis=axis)
     if with_host:
         import scipy.sparse as sp
-        box = nx * ny * nz
-        rows = np.concatenate([p[0] + q * box for q, p in enumerate(parts)])
-        cols = np.concatenate([p[1] for p in parts])
-        # setup math (strength/interp/RAP) runs in f64 on the host even when
-        # the device operators are f32
-        vals = np.concatenate([p[2] for p in parts]).astype(np.float64)
-        A_host = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+        rows_l, cols_l, vals_l = [], [], []
+        if parts is None:
+            # reconstruct from the DIA fast path
+            r_k, k_idx = np.nonzero(dia_one)
+            cols_one = r_k + offs[k_idx]
+            vals_one = dia_one[r_k, k_idx].astype(np.float64)
+            for part in range(nparts):
+                rows_l.append(part * box + r_k)
+                cols_l.append(part * box + cols_one)
+                vals_l.append(vals_one)
+                olr, ogc, ov = offd_parts[part]
+                rows_l.append(part * box + olr)
+                cols_l.append(ogc)
+                vals_l.append(ov.astype(np.float64))
+        else:
+            for q, p in enumerate(parts):
+                rows_l.append(p[0] + q * box)
+                cols_l.append(p[1])
+                # setup math (strength/interp/RAP) runs in f64 on the host
+                # even when the device operators are f32
+                vals_l.append(p[2].astype(np.float64))
+        A_host = sp.csr_matrix(
+            (np.concatenate(vals_l),
+             (np.concatenate(rows_l), np.concatenate(cols_l))), shape=(n, n))
         return A, b, x_ref, A_host
     return A, b, x_ref
 
