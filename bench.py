@@ -63,7 +63,8 @@ def main() -> int:
         mat_bytes = int(np.prod(A.dia_vals.shape)) * itemsize  # values only
     else:
         mat_bytes = 2 * int(np.prod(A.diag_vals.shape)) * itemsize
-    mat_bytes += 2 * int(np.prod(A.offd_vals.shape)) * itemsize
+    if A.has_offd:
+        mat_bytes += 2 * int(np.prod(A.offd_vals.shape)) * itemsize
     bytes_per = (mat_bytes
                  + A.padded_ncols * itemsize         # x read
                  + A.padded_nrows * itemsize)        # y write

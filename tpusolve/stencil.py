@@ -100,20 +100,21 @@ def _dia_box(nx, ny, nz, dtype):
     ix = np.arange(nx)
     iy = np.arange(ny)
     iz = np.arange(nz)
-    dia = np.zeros((nz, ny, nx, 27), dtype)
+    dia = np.zeros((27, nz, ny, nx), dtype)
     offs = np.empty(27, np.int64)
     for k, (dx, dy, dz) in enumerate(_OFFSETS):
         offs[k] = dz * ny * nx + dy * nx + dx
         if dx == dy == dz == 0:
-            dia[..., k] = 26.0
+            dia[k] = 26.0
             continue
         mx = (ix + dx >= 0) & (ix + dx < nx)
         my = (iy + dy >= 0) & (iy + dy < ny)
         mz = (iz + dz >= 0) & (iz + dz < nz)
-        dia[..., k] = np.where(
+        dia[k] = np.where(
             mz[:, None, None] & my[None, :, None] & mx[None, None, :],
             dtype(-1.0), dtype(0.0))
-    return offs, dia.reshape(nx * ny * nz, 27)
+    order = np.argsort(offs)
+    return offs[order], dia[order].reshape(27, nx * ny * nz)
 
 
 def _local_offd_and_rhs(part, nx, ny, nz, pgrid, dtype):
@@ -193,14 +194,17 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
     if nx >= 3 and ny >= 3:
         # fast path: diag block = shared DIA geometry, offd = boundary shell
         offs, dia_one = _dia_box(nx, ny, nz, dtype)
-        dia_vals = np.broadcast_to(dia_one[None], (nparts, box, 27))
+        dia_vals = np.broadcast_to(dia_one[None], (nparts, 27, box))
         offd_parts, rhs_parts = [], []
         for part in range(nparts):
             offd, rhs = _local_offd_and_rhs(part, nx, ny, nz, pgrid, dtype)
             offd_parts.append(offd)
             rhs_parts.append(rhs)
+        # dia_shape: 27-pt offsets are box-consistent on the (nz, ny, nx)
+        # view — any dim-boundary crossing lands on zero coefficients
         A = ShardedMatrix.from_dia_parts(mesh, (n, n), offs, dia_vals,
-                                         offd_parts, dtype=dtype, axis=axis)
+                                         offd_parts, dtype=dtype, axis=axis,
+                                         dia_shape=(nz, ny, nx))
         parts = None
     else:
         # tiny boxes can alias DIA offsets; use the generic COO path
@@ -221,9 +225,9 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
         rows_l, cols_l, vals_l = [], [], []
         if parts is None:
             # reconstruct from the DIA fast path
-            r_k, k_idx = np.nonzero(dia_one)
+            k_idx, r_k = np.nonzero(dia_one)
             cols_one = r_k + offs[k_idx]
-            vals_one = dia_one[r_k, k_idx].astype(np.float64)
+            vals_one = dia_one[k_idx, r_k].astype(np.float64)
             for part in range(nparts):
                 rows_l.append(part * box + r_k)
                 cols_l.append(part * box + cols_one)
