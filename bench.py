@@ -68,26 +68,33 @@ def main() -> int:
     bytes_per = (mat_bytes
                  + A.padded_ncols * itemsize         # x read
                  + A.padded_nrows * itemsize)        # y write
-    inner = 20
+    # Two chain lengths; the slope isolates per-SpMV time from the fixed
+    # per-call dispatch overhead (tens of ms through remote TPU relays).
+    n_lo, n_hi = 32, 256
 
-    @jax.jit
-    def chain(x):
-        # power-iteration-style chain keeps data on device; normalization by
-        # the spectral bound prevents overflow without touching HBM extra
-        def body(_, x):
-            return spmv(A, x) * jnp.float32(1.0 / 52.0)
-        return lax.fori_loop(0, inner, body, x)
+    def make_chain(n):
+        @jax.jit
+        def chain(x):
+            # power-iteration-style chain keeps data on device; scaling by
+            # the spectral bound prevents overflow
+            def body(_, x):
+                return spmv(A, x) * jnp.float32(1.0 / 52.0)
+            y = lax.fori_loop(0, n, body, x)
+            return jnp.sum(jnp.abs(y))     # scalar forces real execution
+        return chain
 
-    x = b
-    chain(x).block_until_ready()          # compile + warm up
-    reps = 3
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        chain(x).block_until_ready()
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-    gbps = bytes_per * inner / best / 1e9
+    times = {}
+    for n_it in (n_lo, n_hi):
+        chain = make_chain(n_it)
+        float(chain(b))                    # compile + warm up
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(b))
+            best = min(best, time.perf_counter() - t0)
+        times[n_it] = best
+    per_spmv = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
+    gbps = bytes_per / per_spmv / 1e9
 
     sol = device_hbm_gbps(kind)
     target = 0.8 * sol
@@ -98,8 +105,8 @@ def main() -> int:
         "vs_baseline": round(gbps / target, 4),
     }), flush=True)
     print(f"# device={kind} n={n} nnz={A.nnz} bytes/spmv={bytes_per/1e6:.1f}MB "
-          f"best={best*1e3:.1f}ms/{inner}it sol={sol}GB/s target(0.8*sol)={target}GB/s",
-          file=sys.stderr)
+          f"per_spmv={per_spmv*1e3:.3f}ms sol={sol}GB/s "
+          f"target(0.8*sol)={target}GB/s", file=sys.stderr)
     return 0
 
 

@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
+from tpusolve.amg.structured import (
+    structured_mg_setup, structured_possible, _p_box, _p1d,
+    _make_transfers)
+from tpusolve.config import BoomerAMGConfig
+from tpusolve.matrix.vectors import to_device_vector, from_device_vector
+from tpusolve.krylov import pcg_setup, gmres_setup
+from tpusolve.stencil import laplace27
+
+
+class TestTransfers:
+    def test_device_prolong_matches_host_P(self, mesh8, rng):
+        box = (4, 6, 8)
+        cbox = (2, 3, 4)
+        Pb = _p_box(box)
+        prolong, restrict = _make_transfers(mesh8, "rows", box, cbox)
+        ncc = int(np.prod(cbox)) * 8
+        xc = rng.standard_normal(ncc)
+        xcd = jax.device_put(xc).reshape(-1)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh8, P("rows"))
+        xcd = jax.device_put(xc, sh)
+        xf = np.asarray(prolong(xcd))
+        P_full = sp.block_diag([Pb] * 8, format="csr")
+        np.testing.assert_allclose(xf, P_full @ xc, rtol=1e-12)
+
+    def test_restrict_is_adjoint(self, mesh8, rng):
+        box = (4, 4, 4)
+        cbox = (2, 2, 2)
+        prolong, restrict = _make_transfers(mesh8, "rows", box, cbox)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh8, P("rows"))
+        nf, nc = 64 * 8, 8 * 8
+        xc = jax.device_put(rng.standard_normal(nc), sh)
+        yf = jax.device_put(rng.standard_normal(nf), sh)
+        lhs = float(jnp.vdot(prolong(xc), yf))
+        rhs = float(jnp.vdot(xc, restrict(yf)))
+        assert abs(lhs - rhs) < 1e-10 * max(abs(lhs), 1.0)
+
+    def test_p1d_rows_sum_to_one(self):
+        for m in (4, 8, 12):
+            Pm = _p1d(m)
+            np.testing.assert_allclose(np.asarray(Pm.sum(axis=1)).ravel(), 1.0)
+
+
+class TestStructuredMG:
+    def test_possible_detection(self, mesh8):
+        A, _, _ = laplace27(mesh8, 4, 4, 4)
+        assert structured_possible(A)
+        A2, _, _ = laplace27(mesh8, 3, 4, 4)  # odd dim
+        assert not structured_possible(A2)
+
+    def test_pcg_fast_convergence(self, mesh8):
+        A, b, x_ref, Ah = laplace27(mesh8, 8, 8, 8, with_host=True)
+        cfg = BoomerAMGConfig(max_coarse_size=64, num_sweeps=1)
+        pre = structured_mg_setup(A, cfg, A_host=Ah)
+        assert pre.num_levels >= 2
+        # all levels stay DIA (the point of the structured path)
+        for lev in pre.levels:
+            assert lev.A.uses_dia
+        res = pcg_setup(A, pre.apply, tol=1e-10, maxiter=100)(b)
+        assert bool(res.converged)
+        assert int(res.iters) <= 20, f"SMG-PCG took {int(res.iters)}"
+        x = from_device_vector(res.x, A.row_offsets, A.row_pad)
+        np.testing.assert_allclose(x, 1.0, rtol=1e-7)
+
+    def test_gmres(self, mesh8):
+        A, b, x_ref, Ah = laplace27(mesh8, 8, 8, 4, with_host=True)
+        cfg = BoomerAMGConfig(max_coarse_size=64)
+        pre = structured_mg_setup(A, cfg, A_host=Ah)
+        res = gmres_setup(A, pre.apply, tol=1e-10, maxiter=100, restart=20)(b)
+        assert bool(res.converged)
+        assert int(res.iters) <= 20
+
+    def test_chebyshev_smoother(self, mesh8):
+        A, b, x_ref, Ah = laplace27(mesh8, 8, 4, 4, with_host=True)
+        cfg = BoomerAMGConfig(relax_type=16, cheby_order=2, max_coarse_size=32)
+        pre = structured_mg_setup(A, cfg, A_host=Ah)
+        res = pcg_setup(A, pre.apply, tol=1e-10, maxiter=100)(b)
+        assert bool(res.converged)
+        assert int(res.iters) <= 25
+
+    def test_rejects_unstructured(self, mesh8, rng):
+        from tpusolve.matrix.sharded import ShardedMatrix
+        n = 64
+        rows = np.repeat(np.arange(n), 3)
+        cols = rng.integers(0, n, 3 * n)
+        vals = rng.standard_normal(3 * n)
+        A = ShardedMatrix.from_coo(mesh8, (n, n), rows, cols, vals)
+        with pytest.raises(ValueError):
+            structured_mg_setup(A, BoomerAMGConfig())

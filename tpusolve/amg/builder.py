@@ -45,7 +45,11 @@ from tpusolve.krylov.stationary import stationary_solve_setup
 
 @dataclass
 class Level:
-    """One level of the hierarchy (host-side container of device arrays)."""
+    """One level of the hierarchy (host-side container of device arrays).
+
+    Transfers are either sparse operators (P/R ShardedMatrix — algebraic
+    hierarchy) or structured closures (prolong/restrict — geometric
+    hierarchy); exactly one pair is set on non-coarsest levels."""
     A: ShardedMatrix
     P: ShardedMatrix | None          # (n_fine, n_coarse); None at coarsest
     R: ShardedMatrix | None          # P^T
@@ -54,6 +58,8 @@ class Level:
     cheby_bounds: tuple[float, float] | None
     n: int = 0
     nnz: int = 0
+    prolong: Any = None              # callable xc -> xf (structured path)
+    restrict: Any = None             # callable rf -> rc
 
 
 @dataclass
@@ -113,6 +119,19 @@ def _sharded_from_scipy(mesh, M: sp.spmatrix, dtype, row_offsets=None,
         col_offsets=col_offsets)
 
 
+def _resolve_kinds(cfg: BoomerAMGConfig):
+    notes = []
+    kind_down, note = smoothers.resolve_relax(
+        cfg.relax_down if cfg.relax_down is not None else cfg.relax_type)
+    if note:
+        notes.append(note)
+    kind_up, note = smoothers.resolve_relax(
+        cfg.relax_up if cfg.relax_up is not None else cfg.relax_type)
+    if note and note not in notes:
+        notes.append(note)
+    return kind_down, kind_up, notes
+
+
 def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
                     *, A_host: sp.csr_matrix | None = None,
                     seed: int = 1234) -> AMGPreconditioner:
@@ -124,16 +143,7 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
     cfg = config or BoomerAMGConfig()
     mesh = A.mesh
     dtype = A.dtype
-    notes: list[str] = []
-
-    kind_down, note = smoothers.resolve_relax(
-        cfg.relax_down if cfg.relax_down is not None else cfg.relax_type)
-    if note:
-        notes.append(note)
-    kind_up, note = smoothers.resolve_relax(
-        cfg.relax_up if cfg.relax_up is not None else cfg.relax_type)
-    if note and note not in notes:
-        notes.append(note)
+    kind_down, kind_up, notes = _resolve_kinds(cfg)
 
     Ah = (A_host if A_host is not None else A.to_scipy()).tocsr()
     Ah.sum_duplicates()
@@ -259,11 +269,11 @@ def _build_cycle(pre: AMGPreconditioner, kind_down, kind_up,
             return x + coarse_inv @ r
         x = smooth(lev, b, x, kind_down, nu_down)
         r = b - spmv(lev.A, x)
-        rc = spmv(lev.R, r)
+        rc = lev.restrict(r) if lev.R is None else spmv(lev.R, r)
         ec = jnp.zeros(levels[l + 1].A.padded_nrows, b.dtype)
         for _ in range(gamma):
             ec = cycle(l + 1, rc, ec)
-        x = x + spmv(lev.P, ec)
+        x = x + (lev.prolong(ec) if lev.P is None else spmv(lev.P, ec))
         x = smooth(lev, b, x, kind_up, nu_up)
         return x
 

@@ -117,7 +117,7 @@ class ShardedMatrix:
     @staticmethod
     def from_coo(mesh, shape, rows, cols, vals, *, dtype=None, dedup="add",
                  row_offsets=None, col_offsets=None, axis: str = ROWS_AXIS,
-                 ell_align: int = 1, allow_dia: bool = True):
+                 ell_align: int = 1, allow_dia: bool = True, dia_shape=None):
         """Assemble a global COO into the sharded format.
 
         Implements the full IJ ``SetValues/AddToValues + Assemble`` pipeline
@@ -146,12 +146,16 @@ class ShardedMatrix:
         return ShardedMatrix.from_local_parts(
             mesh, shape, parts, dtype=dtype, row_offsets=row_offsets,
             col_offsets=col_offsets, axis=axis, ell_align=ell_align,
-            allow_dia=allow_dia)
+            allow_dia=allow_dia, dia_shape=dia_shape)
 
     @staticmethod
     def from_local_parts(mesh, shape, parts, *, dtype=None, row_offsets=None,
                          col_offsets=None, axis: str = ROWS_AXIS,
-                         ell_align: int = 1, allow_dia: bool = True):
+                         ell_align: int = 1, allow_dia: bool = True,
+                         dia_shape=None):
+        # dia_shape: caller-guaranteed box-consistent 2-D/3-D view of each
+        # shard's row space (see class docstring); ignored unless DIA is
+        # selected and the product matches the padded shard size.
         """Assemble from per-shard (local_rows, global_cols, vals) triples.
 
         ``parts[p]`` holds entries whose global row lies in part ``p``'s row
@@ -250,7 +254,12 @@ class ShardedMatrix:
             dvals = np.zeros((nparts, row_pad, 1), dtype)
             dcols = np.zeros((nparts, row_pad, 1), np.int32)
             dia_offsets = tuple(int(o) for o in dia_union)
+            if dia_shape is not None and int(np.prod(dia_shape)) == row_pad:
+                dia_vals = dia_vals.reshape((nparts, D) + tuple(dia_shape))
+            else:
+                dia_shape = None
         else:
+            dia_shape = None
             kd = 1
             for p in range(nparts):
                 dlr = diag_parts[p][0]
@@ -295,8 +304,9 @@ class ShardedMatrix:
             row_offsets=tuple(int(o) for o in row_offsets),
             col_offsets=tuple(int(o) for o in col_offsets),
             row_pad=row_pad, col_pad=col_pad, dia_offsets=dia_offsets,
-            dia_shape=None, has_offd=any(len(p[0]) for p in
-                                         (op for op in offd_parts)),
+            dia_shape=(tuple(int(v) for v in dia_shape)
+                       if dia_shape is not None else None),
+            has_offd=any(len(p[0]) for p in offd_parts),
             mesh=mesh, axis=axis, nnz=nnz)
 
     # ------------------------------------------------------------------
