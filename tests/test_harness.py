@@ -316,3 +316,53 @@ solver_settings2: 0
         assert rc == 0
         lines = (tmp_path / "p.csv").read_text().strip().splitlines()
         assert len(lines) == 3
+
+
+class TestMixedPrecision:
+    def test_mixed_reaches_tight_tolerance(self, mesh8, rng):
+        import yaml
+        from tests.test_harness import _write_mm_system
+        import tempfile, os
+        # mixed precision on the stencil: f32 compute + IR to 1e-9
+        doc = yaml.safe_load("""
+linear_system:
+  type: build_27pt_stencil
+  nx: 4
+  ny: 4
+  nz: 4
+  rtol: 1.0e-7
+  atol: 1.0e-9
+solver_settings:
+  method: cg
+  preconditioner: boomeramg
+  tolerance: 1.0e-9
+  max_iterations: 300
+  precision: mixed
+boomeramg_settings:
+  strong_threshold: 0.25
+  max_coarse_size: 32
+""")
+        from tpusolve.config import parse_config
+        from tpusolve.harness.system import LinearSystem
+        cfg = parse_config(doc)
+        sys_ = LinearSystem(mesh8, cfg, verbose=False)
+        sys_.setup_precon_and_solver()
+        sys_.load()
+        assert sys_.A_lo is not None and sys_.A_lo.dtype == np.float32
+        assert sys_.A.dtype == np.float64
+        sys_.solve()
+        res = sys_.solve_results[0]
+        assert bool(res.converged)
+        assert float(res.relres) <= 1e-9
+        assert sys_.check_solution()
+
+    def test_print_level_history(self, mesh8, tmp_path, capsys):
+        sys_, ok = _run(tmp_path, mesh8, "cg", "none")
+        sys_.config.solver.print_level = 4
+        sys_.verbose = True
+        # re-log from stored results
+        for res in sys_.solve_results:
+            assert res.history is not None
+            h = np.asarray(res.history)
+            assert h[0] > 0          # initial residual recorded
+            assert (h >= 0).sum() == int(res.iters) + 1

@@ -43,23 +43,30 @@ from tpusolve.krylov.common import SolveResult, norm, safe_div, stop_target
 from tpusolve.krylov.stationary import stationary_solve_setup
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class Level:
-    """One level of the hierarchy (host-side container of device arrays).
+    """One level of the hierarchy.
 
+    A pytree: the operators/vectors are leaves so the whole hierarchy flows
+    into jitted cycles as a runtime argument (never as HLO constants — a
+    GB-scale hierarchy inlined as constants overflows compile payloads).
     Transfers are either sparse operators (P/R ShardedMatrix — algebraic
-    hierarchy) or structured closures (prolong/restrict — geometric
-    hierarchy); exactly one pair is set on non-coarsest levels."""
+    hierarchy) or structured closures (prolong/restrict static fields —
+    geometric hierarchy); exactly one pair is set on non-coarsest levels."""
     A: ShardedMatrix
     P: ShardedMatrix | None          # (n_fine, n_coarse); None at coarsest
     R: ShardedMatrix | None          # P^T
     dinv_l1: jax.Array | None        # 1 / l1 row norms (padded, sharded)
     dinv: jax.Array | None           # 1 / diag        (padded, sharded)
-    cheby_bounds: tuple[float, float] | None
-    n: int = 0
-    nnz: int = 0
-    prolong: Any = None              # callable xc -> xf (structured path)
-    restrict: Any = None             # callable rf -> rc
+    cheby_bounds: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    n: int = dataclasses.field(default=0, metadata=dict(static=True))
+    nnz: int = dataclasses.field(default=0, metadata=dict(static=True))
+    prolong: Any = dataclasses.field(default=None,
+                                     metadata=dict(static=True))
+    restrict: Any = dataclasses.field(default=None,
+                                      metadata=dict(static=True))
 
 
 @dataclass
@@ -68,14 +75,22 @@ class AMGPreconditioner:
     coarse_inv: jax.Array            # (Npad_c, Npad_c) replicated pinv
     config: BoomerAMGConfig
     notes: list[str]
-    _cycle: Any = None               # jitted cycle closure
+    _cycle_fn: Any = None            # cycle_fn(state, r); state = pair()[1]
+    _cycle_jit: Any = None
     num_levels: int = 0
     _solvers: dict = dataclasses.field(default_factory=dict)
+
+    def pair(self):
+        """Operator-pair protocol: (fn, state) with z = fn(state, r) —
+        lets Krylov solvers take the hierarchy as a jit argument."""
+        return self._cycle_fn, (tuple(self.levels), self.coarse_inv)
 
     def apply(self, r):
         """z = (one AMG cycle)(r) from zero initial guess — the
         preconditioner contract."""
-        return self._cycle(r)
+        if self._cycle_jit is None:
+            self._cycle_jit = jax.jit(self._cycle_fn)
+        return self._cycle_jit((tuple(self.levels), self.coarse_inv), r)
 
     def solve(self, b, x0=None, tol: float | None = None,
               maxiter: int | None = None) -> SolveResult:
@@ -89,7 +104,7 @@ class AMGPreconditioner:
         key = (float(tol), int(maxiter))
         if key not in self._solvers:
             self._solvers[key] = stationary_solve_setup(
-                self.levels[0].A, self._cycle, tol=tol, maxiter=maxiter)
+                self.levels[0].A, self, tol=tol, maxiter=maxiter)
         return self._solvers[key](b, x0)
 
     def describe(self) -> str:
@@ -198,7 +213,7 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
 
     pre = AMGPreconditioner(levels=levels, coarse_inv=coarse_inv, config=cfg,
                             notes=notes, num_levels=len(levels))
-    pre._cycle = _build_cycle(pre, kind_down, kind_up, cfg)
+    pre._cycle_fn = _build_cycle(pre, kind_down, kind_up, cfg)
     return pre
 
 
@@ -238,13 +253,13 @@ def _padded_pinv(mesh, Ah, A_sh, dtype) -> jax.Array:
 
 def _build_cycle(pre: AMGPreconditioner, kind_down, kind_up,
                  cfg: BoomerAMGConfig):
-    levels = pre.levels
-    L = len(levels)
+    """Build cycle_fn(state, r) with state = (levels_tuple, coarse_inv)
+    passed at call time (hierarchy as runtime buffers)."""
+    L = len(pre.levels)
     nu_down = cfg.num_down_sweeps if cfg.num_down_sweeps is not None else cfg.num_sweeps
     nu_up = cfg.num_up_sweeps if cfg.num_up_sweeps is not None else cfg.num_sweeps
     gamma = 2 if cfg.cycle_type == 2 else 1
     weight = 1.0
-    coarse_inv = pre.coarse_inv
 
     def smooth(lev: Level, b, x, kind, ns):
         if ns <= 0:
@@ -261,24 +276,24 @@ def _build_cycle(pre: AMGPreconditioner, kind_down, kind_up,
             return x
         raise ValueError(kind)
 
-    def cycle(l: int, b, x):
-        lev = levels[l]
-        if l == L - 1:
-            # coarsest: x + pinv(b - A x)
-            r = b - spmv(lev.A, x)
-            return x + coarse_inv @ r
-        x = smooth(lev, b, x, kind_down, nu_down)
-        r = b - spmv(lev.A, x)
-        rc = lev.restrict(r) if lev.R is None else spmv(lev.R, r)
-        ec = jnp.zeros(levels[l + 1].A.padded_nrows, b.dtype)
-        for _ in range(gamma):
-            ec = cycle(l + 1, rc, ec)
-        x = x + (lev.prolong(ec) if lev.P is None else spmv(lev.P, ec))
-        x = smooth(lev, b, x, kind_up, nu_up)
-        return x
+    def cycle_fn(state, r):
+        levels, coarse_inv = state
 
-    @jax.jit
-    def apply(r):
+        def cycle(l: int, b, x):
+            lev = levels[l]
+            if l == L - 1:
+                rr = b - spmv(lev.A, x)
+                return x + coarse_inv @ rr
+            x = smooth(lev, b, x, kind_down, nu_down)
+            rr = b - spmv(lev.A, x)
+            rc = lev.restrict(rr) if lev.R is None else spmv(lev.R, rr)
+            ec = jnp.zeros(levels[l + 1].A.padded_nrows, b.dtype)
+            for _ in range(gamma):
+                ec = cycle(l + 1, rc, ec)
+            x = x + (lev.prolong(ec) if lev.P is None else spmv(lev.P, ec))
+            x = smooth(lev, b, x, kind_up, nu_up)
+            return x
+
         return cycle(0, r, jnp.zeros_like(r))
 
-    return apply
+    return cycle_fn

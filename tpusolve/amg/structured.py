@@ -200,5 +200,5 @@ def structured_mg_setup(A: ShardedMatrix,
 
     pre = AMGPreconditioner(levels=levels, coarse_inv=coarse_inv, config=cfg,
                             notes=notes, num_levels=len(levels))
-    pre._cycle = _build_cycle(pre, kind_down, kind_up, cfg)
+    pre._cycle_fn = _build_cycle(pre, kind_down, kind_up, cfg)
     return pre

@@ -56,9 +56,15 @@ class LinearSystem:
         self.check_enabled = False
 
         prec = config.solver.precision
-        self.dtype = np.float64 if prec == "double" else np.float32
+        if prec not in ("double", "single", "mixed"):
+            raise ValueError(f"unknown precision: {prec}")
+        self.precision = prec
+        # "mixed": f32 operators for Krylov/preconditioner + an f64 copy for
+        # iterative-refinement residuals (rtol 1e-8 targets in f32 compute)
+        self.dtype = np.float32 if prec == "single" else np.float64
 
         self.A: ShardedMatrix | None = None
+        self.A_lo: ShardedMatrix | None = None   # f32 twin (mixed precision)
         self.A_host: sp.csr_matrix | None = None
         self.rhs: list[jax.Array] = []
         self.sln: list[jax.Array] = []
@@ -85,7 +91,7 @@ class LinearSystem:
                          "cg", "pcg", "boomeramg", "ilu"}
         if method not in valid_methods:
             raise ValueError(f"Invalid method provided: {method}")
-        if precond not in {"boomeramg", "ilu", "none"}:
+        if precond not in {"boomeramg", "ilu", "none", "pfmg"}:
             raise ValueError(f"Invalid preconditioner provided: {precond}")
         self._method = method
         self._precond_name = precond
@@ -119,6 +125,10 @@ class LinearSystem:
             self.A = ShardedMatrix.from_coo(
                 self.mesh, (n, n), rows, cols, vals, dtype=self.dtype,
                 row_offsets=offsets)
+            if self.precision == "mixed":
+                self.A_lo = ShardedMatrix.from_coo(
+                    self.mesh, (n, n), rows, cols, vals, dtype=np.float32,
+                    row_offsets=offsets)
             self.A_host = sp.csr_matrix(
                 (vals, (rows, cols)), shape=(n, n))
             self.A_host.sum_duplicates()
@@ -186,6 +196,9 @@ class LinearSystem:
                 self.mesh, ls.nx, ls.ny, ls.nz, dtype=self.dtype,
                 with_host=True)
             self.A = A
+            if self.precision == "mixed":
+                self.A_lo, _, _ = laplace27(self.mesh, ls.nx, ls.ny, ls.nz,
+                                            dtype=np.float32)
             self.A_host = A_host
             self.rhs = [b]
             self.sln_ref = [np.ones(A.shape[0])]
@@ -196,18 +209,34 @@ class LinearSystem:
         self.num_solves = 1
 
     # ------------------------------------------------------------------
+    @property
+    def _A_solve(self):
+        """Operator the Krylov/preconditioner machinery runs on."""
+        return self.A_lo if self.precision == "mixed" else self.A
+
     def _build_preconditioner(self):
         name = self._precond_name
         if name == "none":
             return None, None
-        if name == "boomeramg":
-            pre = boomeramg_setup(self.A, self.config.boomeramg,
-                                  A_host=self.A_host)
+        if name in ("boomeramg", "pfmg"):
+            from tpusolve.amg.structured import (
+                structured_mg_setup, structured_possible)
+            if name == "pfmg":
+                if not structured_possible(self._A_solve):
+                    raise ValueError(
+                        "pfmg requires a structured (box-generated) operator")
+                pre = structured_mg_setup(self._A_solve,
+                                          self.config.boomeramg,
+                                          A_host=self.A_host)
+            else:
+                pre = boomeramg_setup(self._A_solve, self.config.boomeramg,
+                                      A_host=self.A_host)
             if self.verbose:
                 self._log(pre.describe())
             return pre, pre.apply
         if name == "ilu":
-            pre = ilu_setup(self.A, self.config.ilu, A_host=self.A_host)
+            pre = ilu_setup(self._A_solve, self.config.ilu,
+                            A_host=self.A_host)
             for note in pre.notes:
                 self._log(f"  note: {note}")
             return pre, pre.apply
@@ -215,18 +244,33 @@ class LinearSystem:
 
     def _build_solver(self, M):
         s = self.config.solver
-        kw = dict(tol=s.tolerance, maxiter=s.max_iterations)
+        mixed = self.precision == "mixed"
+        # mixed precision: the inner f32 solve only needs to reach the f32
+        # floor; the IR outer loop carries it to s.tolerance
+        inner_tol = float(s.extra.get("inner_tolerance", 1e-5))
+        kw = dict(tol=inner_tol if mixed else s.tolerance,
+                  maxiter=s.max_iterations)
+        A = self._A_solve
         method = self._method
         if method in ("cg", "pcg"):
-            return pcg_setup(self.A, M, **kw)
-        if method == "gmres":
-            return gmres_setup(self.A, M, restart=s.kspace, **kw)
-        if method == "cogmres":
-            return cogmres_setup(self.A, M, restart=s.kspace, cgs=s.cgs, **kw)
-        if method == "fgmres":
-            return fgmres_setup(self.A, M, restart=s.kspace, **kw)
-        if method in ("bicg", "bicgstab"):
-            return bicgstab_setup(self.A, M, **kw)
+            inner = pcg_setup(A, M, **kw)
+        elif method == "gmres":
+            inner = gmres_setup(A, M, restart=s.kspace, **kw)
+        elif method == "cogmres":
+            inner = cogmres_setup(A, M, restart=s.kspace, cgs=s.cgs, **kw)
+        elif method == "fgmres":
+            inner = fgmres_setup(A, M, restart=s.kspace, **kw)
+        elif method in ("bicg", "bicgstab"):
+            inner = bicgstab_setup(A, M, **kw)
+        else:
+            inner = None
+        if inner is not None:
+            if mixed:
+                from tpusolve.krylov.refine import refined_solve_setup
+                return refined_solve_setup(
+                    self.A, inner, tol=s.tolerance,
+                    max_refine=int(s.extra.get("max_refine", 6)))
+            return inner
         if method == "boomeramg":
             # AMG as the solver (ref: setup_boomeramg_solver,
             # src/HypreSystem.cpp:91-117) — reuse AMG's own tolerance keys
@@ -281,6 +325,13 @@ class LinearSystem:
             self._log(f"Solve {i}: iters={int(res.iters)} "
                       f"relres={float(res.relres):.3e} "
                       f"converged={bool(res.converged)}")
+            # per-iteration residual transparency (HYPRE print_level 4,
+            # ref: etc/hypre_app.yaml:20)
+            if self.config.solver.print_level >= 4 and res.history is not None:
+                h = np.asarray(res.history)
+                h = h[h >= 0]
+                for k, rn in enumerate(h):
+                    self._log(f"    iter {k:4d}  ||r|| = {rn:.6e}")
 
     # ------------------------------------------------------------------
     def check_solution(self):

@@ -3,7 +3,8 @@
 TPU-native replacement for ``HYPRE_ParCSRBiCGSTAB*`` (consumed by the
 reference at src/HypreSystem.cpp:423-438).  Right-preconditioned van der
 Vorst BiCGSTAB; two matvecs + two preconditioner applications per iteration,
-all reductions fused by XLA into psum collectives.
+all reductions fused by XLA into psum collectives.  Operator/preconditioner
+state enters as pytree arguments (no HLO constants).
 """
 
 from __future__ import annotations
@@ -13,16 +14,19 @@ import jax.numpy as jnp
 from jax import lax
 
 from tpusolve.krylov.common import (
-    SolveResult, as_matvec, as_precond, dot, norm, safe_div, stop_target)
+    SolveResult, as_operator_pair, as_precond_pair, dot, norm, safe_div,
+    stop_target, history_buffer)
 
 
 def bicgstab_setup(A, M=None, *, tol: float = 1e-5, atol: float = 0.0,
                    maxiter: int = 1000):
-    matvec = as_matvec(A)
-    precond = as_precond(M)
+    afn, astate = as_operator_pair(A)
+    mfn, mstate = as_precond_pair(M)
 
     @jax.jit
-    def solve(b, x0=None):
+    def _solve(astate, mstate, b, x0):
+        matvec = lambda x: afn(astate, x)
+        precond = lambda r: mfn(mstate, r)
         x = jnp.zeros_like(b) if x0 is None else x0
         bnorm = norm(b)
         target = stop_target(bnorm, tol, atol)
@@ -31,13 +35,14 @@ def bicgstab_setup(A, M=None, *, tol: float = 1e-5, atol: float = 0.0,
         rho = dot(r0, r)
         p = r
         rnorm = norm(r)
+        hist = history_buffer(maxiter, rnorm, b.dtype)
 
         def cond(state):
-            x, r, p, rho, rnorm, it = state
+            x, r, p, rho, rnorm, _, it = state
             return (it < maxiter) & (rnorm > target)
 
         def body(state):
-            x, r, p, rho, _, it = state
+            x, r, p, rho, _, hist, it = state
             phat = precond(p)
             v = matvec(phat)
             alpha = safe_div(rho, dot(r0, v))
@@ -50,14 +55,21 @@ def bicgstab_setup(A, M=None, *, tol: float = 1e-5, atol: float = 0.0,
             rho_new = dot(r0, r)
             beta = safe_div(rho_new, rho) * safe_div(alpha, omega)
             p = r + beta * (p - omega * v)
-            return x, r, p, rho_new, norm(r), it + 1
+            rnorm = norm(r)
+            hist = hist.at[it + 1].set(rnorm)
+            return x, r, p, rho_new, rnorm, hist, it + 1
 
-        x, r, p, rho, rnorm, it = lax.while_loop(
-            cond, body, (x, r, p, rho, rnorm, jnp.int32(0)))
+        x, r, p, rho, rnorm, hist, it = lax.while_loop(
+            cond, body, (x, r, p, rho, rnorm, hist, jnp.int32(0)))
         relres = safe_div(rnorm, bnorm)
         return SolveResult(x=x, iters=it, relres=relres,
-                           converged=rnorm <= target)
+                           converged=rnorm <= target, history=hist)
 
+    def solve(b, x0=None):
+        return _solve(astate, mstate, b, x0)
+
+    solve._fn = _solve        # (astate, mstate, b, x0) -> SolveResult
+    solve._state = (astate, mstate)
     return solve
 
 

@@ -28,6 +28,16 @@ class SolveResult(NamedTuple):
     iters: jax.Array      # int32 iteration count
     relres: jax.Array     # final ||r|| / ||b||
     converged: jax.Array  # bool
+    history: jax.Array | None = None  # per-iteration ||r|| (padded with -1)
+
+
+def history_buffer(maxiter: int, r0, dtype):
+    """(maxiter+1,) residual-norm trace, slot 0 = initial residual,
+    unused slots = -1 (the reference's print_level 4 prints per-iteration
+    residual norms; here the trace is returned for the harness to print)."""
+    import jax.numpy as jnp
+    buf = jnp.full(maxiter + 1, -1.0, dtype)
+    return buf.at[0].set(r0)
 
 
 def as_matvec(A) -> Callable:
@@ -50,6 +60,40 @@ def as_precond(M) -> Callable:
     if callable(M):
         return M
     raise TypeError(f"cannot interpret {type(M)} as a preconditioner")
+
+
+# ----------------------------------------------------------------------
+# Operator protocol: (static_fn, state_pytree) with y = static_fn(state, x).
+#
+# Operators MUST flow into jitted solvers as *arguments*, never as closure
+# captures: JAX inlines closed-over arrays as HLO constants, which (a)
+# bloats executables and (b) overflows remote-compile payload limits for
+# GB-scale hierarchies (observed: HTTP 413 on a 128^3 multigrid solve).
+
+def _identity_fn(_, r):
+    return r
+
+
+def _closure_fn_factory(f):
+    return lambda _, x: f(x)
+
+
+def as_operator_pair(A):
+    """-> (fn, state) with fn(state, x) = A @ x; state is a pytree arg."""
+    if isinstance(A, ShardedMatrix):
+        return spmv, A
+    if hasattr(A, "pair"):
+        return A.pair()
+    if callable(A):
+        return _closure_fn_factory(A), ()
+    raise TypeError(f"cannot interpret {type(A)} as a linear operator")
+
+
+def as_precond_pair(M):
+    """-> (fn, state) with fn(state, r) = M(r)."""
+    if M is None:
+        return _identity_fn, ()
+    return as_operator_pair(M)
 
 
 def dot(a: jax.Array, b: jax.Array) -> jax.Array:

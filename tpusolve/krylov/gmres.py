@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from tpusolve.krylov.common import (
-    SolveResult, as_matvec, as_precond, norm, safe_div, stop_target)
+    SolveResult, as_operator_pair, as_precond_pair, norm, safe_div,
+    stop_target, history_buffer)
 
 
 def _givens(a, b):
@@ -43,10 +44,11 @@ def _givens(a, b):
     return c, s, rho
 
 
-def _gmres_cycle(matvec, precond, m, cgs, flexible, b, x, target, dtype):
+def _gmres_cycle(matvec, precond, m, cgs, flexible, b, x, target, dtype,
+                 hist, it0):
     """One restart cycle of at most m inner iterations.
 
-    Returns (x_new, rnorm, inner_iters)."""
+    Returns (x_new, rnorm, inner_iters, hist)."""
     n = b.shape[0]
     r = b - matvec(x)
     beta = norm(r)
@@ -60,11 +62,11 @@ def _gmres_cycle(matvec, precond, m, cgs, flexible, b, x, target, dtype):
     g = jnp.zeros(m + 1, dtype).at[0].set(beta)
 
     def cond(state):
-        V, Z, H, cs, sn, g, j, res = state
+        V, Z, H, cs, sn, g, j, res, hist = state
         return (j < m) & (res > target)
 
     def body(state):
-        V, Z, H, cs, sn, g, j, res = state
+        V, Z, H, cs, sn, g, j, res, hist = state
         v = V[j]
         z = precond(v)
         w = matvec(z)
@@ -102,10 +104,12 @@ def _gmres_cycle(matvec, precond, m, cgs, flexible, b, x, target, dtype):
         gj = g[j]
         g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
         H = H.at[:, j].set(hcol)
-        return V, Z, H, cs, sn, g, j + 1, jnp.abs(g[j + 1])
+        res_new = jnp.abs(g[j + 1])
+        hist = hist.at[it0 + j + 1].set(res_new)
+        return V, Z, H, cs, sn, g, j + 1, res_new, hist
 
-    V, Z, H, cs, sn, g, k, res = lax.while_loop(
-        cond, body, (V, Z, H, cs, sn, g, jnp.int32(0), beta))
+    V, Z, H, cs, sn, g, k, res, hist = lax.while_loop(
+        cond, body, (V, Z, H, cs, sn, g, jnp.int32(0), beta, hist))
 
     # solve the k x k least-squares system, padded to m with identity
     cols = jnp.arange(m)
@@ -120,7 +124,7 @@ def _gmres_cycle(matvec, precond, m, cgs, flexible, b, x, target, dtype):
         dx = y @ Z
     else:
         dx = precond(y @ V[:m])
-    return x + dx, res, k
+    return x + dx, res, k, hist
 
 
 def gmres_setup(A, M=None, *, tol: float = 1e-5, atol: float = 0.0,
@@ -132,34 +136,42 @@ def gmres_setup(A, M=None, *, tol: float = 1e-5, atol: float = 0.0,
     src/HypreSystem.cpp:396); ``cgs=2`` enables two-step classical
     Gram-Schmidt; ``flexible=True`` gives FlexGMRES.
     """
-    matvec = as_matvec(A)
-    precond = as_precond(M)
+    afn, astate = as_operator_pair(A)
+    mfn, mstate = as_precond_pair(M)
     m = int(restart)
 
     @jax.jit
-    def solve(b, x0=None):
+    def _solve(astate, mstate, b, x0):
+        matvec = lambda v: afn(astate, v)
+        precond = lambda r: mfn(mstate, r)
         x = jnp.zeros_like(b) if x0 is None else x0
         dtype = b.dtype
         bnorm = norm(b)
         target = stop_target(bnorm, tol, atol)
 
         def cond(state):
-            x, rnorm, it = state
+            x, rnorm, it, hist = state
             return (it < maxiter) & (rnorm > target)
 
         def body(state):
-            x, rnorm, it = state
-            x, res, k = _gmres_cycle(matvec, precond, m, cgs, flexible,
-                                     b, x, target, dtype)
-            return x, res, it + k
+            x, rnorm, it, hist = state
+            x, res, k, hist = _gmres_cycle(matvec, precond, m, cgs, flexible,
+                                           b, x, target, dtype, hist, it)
+            return x, res, it + k, hist
 
         rnorm0 = norm(b - matvec(x))
-        x, rnorm, it = lax.while_loop(
-            cond, body, (x, rnorm0, jnp.int32(0)))
+        hist = history_buffer(maxiter + m, rnorm0, dtype)
+        x, rnorm, it, hist = lax.while_loop(
+            cond, body, (x, rnorm0, jnp.int32(0), hist))
         relres = safe_div(rnorm, bnorm)
         return SolveResult(x=x, iters=it, relres=relres,
-                           converged=rnorm <= target)
+                           converged=rnorm <= target, history=hist)
 
+    def solve(b, x0=None):
+        return _solve(astate, mstate, b, x0)
+
+    solve._fn = _solve        # (astate, mstate, b, x0) -> SolveResult
+    solve._state = (astate, mstate)
     return solve
 
 

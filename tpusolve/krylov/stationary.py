@@ -13,16 +13,19 @@ import jax.numpy as jnp
 from jax import lax
 
 from tpusolve.krylov.common import (
-    SolveResult, as_matvec, as_precond, norm, safe_div, stop_target)
+    SolveResult, as_operator_pair, as_precond_pair, norm, safe_div,
+    stop_target)
 
 
 def stationary_solve_setup(A, M, *, tol: float = 0.0, atol: float = 0.0,
                            maxiter: int = 1):
-    matvec = as_matvec(A)
-    precond = as_precond(M)
+    afn, astate = as_operator_pair(A)
+    mfn, mstate = as_precond_pair(M)
 
     @jax.jit
-    def solve(b, x0=None):
+    def _solve(astate, mstate, b, x0):
+        matvec = lambda v: afn(astate, v)
+        precond = lambda r: mfn(mstate, r)
         x = jnp.zeros_like(b) if x0 is None else x0
         bnorm = norm(b)
         target = stop_target(bnorm, tol, atol)
@@ -42,4 +45,9 @@ def stationary_solve_setup(A, M, *, tol: float = 0.0, atol: float = 0.0,
         return SolveResult(x=x, iters=it, relres=safe_div(rnorm, bnorm),
                            converged=rnorm <= target)
 
+    def solve(b, x0=None):
+        return _solve(astate, mstate, b, x0)
+
+    solve._fn = _solve        # (astate, mstate, b, x0) -> SolveResult
+    solve._state = (astate, mstate)
     return solve
