@@ -44,6 +44,14 @@ def main(argv=None) -> int:
     print(f"tpusolve: {ndev} device(s): "
           f"{[str(d) for d in mesh.devices.ravel()][:8]}", flush=True)
 
+    # device-memory probe at lifecycle boundaries (ref checkMemory,
+    # src/HypreSystem.cpp:638-671) and optional profiler trace
+    from tpusolve.harness.memory import check_memory
+    probe_memory = bool(cfg.solver.extra.get("check_memory", False))
+    trace_dir = cfg.solver.extra.get("profile_trace_dir")
+    if trace_dir:
+        jax.profiler.start_trace(str(trace_dir))
+
     num_tests = cfg.solver.num_tests
     profile = CsvProfile()
     ok = True
@@ -56,13 +64,20 @@ def main(argv=None) -> int:
         sys_ = LinearSystem(mesh, cfg)
         sys_.setup_precon_and_solver()
         sys_.load()
+        if probe_memory:
+            check_memory()
         sys_.solve()
+        if probe_memory:
+            check_memory()
         ok &= sys_.check_solution()
         sys_.output_linear_system()
         sys_.summarize_timers()
         sys_.retrieve_timers(profile)
         sys_.destroy_system()
 
+    if trace_dir:
+        jax.profiler.stop_trace()
+        print(f"Wrote profiler trace: {trace_dir}")
     total = time.perf_counter() - t_start
     print(f"\nTotal time: {total:.6f} s", flush=True)
     if cfg.solver.csv_profile_file:

@@ -233,13 +233,13 @@ class LinearSystem:
                                       A_host=self.A_host)
             if self.verbose:
                 self._log(pre.describe())
-            return pre, pre.apply
+            return pre, pre
         if name == "ilu":
             pre = ilu_setup(self._A_solve, self.config.ilu,
                             A_host=self.A_host)
             for note in pre.notes:
                 self._log(f"  note: {note}")
-            return pre, pre.apply
+            return pre, pre
         raise ValueError(name)
 
     def _build_solver(self, M):

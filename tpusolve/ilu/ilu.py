@@ -140,6 +140,11 @@ class ILUPreconditioner:
     upper_iters: int
     notes: list[str]
     _apply: Any = None
+    _apply_fn: Any = None
+
+    def pair(self):
+        """Operator-pair protocol: state rides as a jit argument."""
+        return self._apply_fn, (self.L, self.U, self.udiag_inv)
 
     def apply(self, r):
         """z ~= U^-1 L^-1 r via Jacobi trisolve iterations."""
@@ -189,11 +194,10 @@ def ilu_setup(A: ShardedMatrix, config: ILUConfig | None = None, *,
                             upper_iters=max(cfg.ilu_upper_jacobi_iters, 1),
                             notes=notes)
 
-    L, U, dinv = pre.L, pre.U, pre.udiag_inv
     nl, nu = pre.lower_iters, pre.upper_iters
 
-    @jax.jit
-    def apply(r):
+    def apply_fn(state, r):
+        L, U, dinv = state
         # solve (I + L) z = r:  z <- r - L z
         def lbody(_, z):
             return r - spmv(L, z)
@@ -204,5 +208,7 @@ def ilu_setup(A: ShardedMatrix, config: ILUConfig | None = None, *,
         x = lax.fori_loop(0, nu, ubody, dinv * z)
         return x
 
-    pre._apply = apply
+    pre._apply_fn = apply_fn
+    applyj = jax.jit(apply_fn)
+    pre._apply = lambda r: applyj((pre.L, pre.U, pre.udiag_inv), r)
     return pre

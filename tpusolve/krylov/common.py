@@ -84,6 +84,11 @@ def as_operator_pair(A):
         return spmv, A
     if hasattr(A, "pair"):
         return A.pair()
+    # bound method of a pair-capable object (e.g. AMGPreconditioner.apply):
+    # unwrap so the GB-scale state rides as an argument, not a capture
+    owner = getattr(A, "__self__", None)
+    if owner is not None and hasattr(owner, "pair"):
+        return owner.pair()
     if callable(A):
         return _closure_fn_factory(A), ()
     raise TypeError(f"cannot interpret {type(A)} as a linear operator")

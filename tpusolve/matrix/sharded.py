@@ -220,7 +220,13 @@ class ShardedMatrix:
             dia_union = np.unique(np.concatenate(dia_offset_sets))
             D = dia_union.size
             fill = total_diag_nnz / max(D * nparts * row_pad, 1)
-            use_dia = 0 < D <= DIA_MAX_OFFSETS and fill >= DIA_MIN_FILL
+            if dia_shape is not None and int(np.prod(dia_shape)) == row_pad:
+                # caller vouches for box structure (e.g. Galerkin coarse
+                # levels): gathers are so slow on TPU that DIA wins at much
+                # lower fill and higher offset counts
+                use_dia = 0 < D <= 4 * DIA_MAX_OFFSETS and fill >= 0.05
+            else:
+                use_dia = 0 < D <= DIA_MAX_OFFSETS and fill >= DIA_MIN_FILL
 
         # --- halo plan ---
         send_counts = np.zeros((nparts, nparts), np.int64)
