@@ -200,6 +200,10 @@ class LinearSystem:
                 self.A_lo, _, _ = laplace27(self.mesh, ls.nx, ls.ny, ls.nz,
                                             dtype=np.float32)
             self.A_host = A_host
+            # structured payload: lets pfmg run its matrix-free setup
+            from tpusolve.stencil import laplace27_host_parts
+            self._host_parts = laplace27_host_parts(
+                self.mesh.devices.size, ls.nx, ls.ny, ls.nz)
             self.rhs = [b]
             self.sln_ref = [np.ones(A.shape[0])]
         n = A.shape[0]
@@ -225,9 +229,15 @@ class LinearSystem:
                 if not structured_possible(self._A_solve):
                     raise ValueError(
                         "pfmg requires a structured (box-generated) operator")
-                pre = structured_mg_setup(self._A_solve,
-                                          self.config.boomeramg,
-                                          A_host=self.A_host)
+                hp = getattr(self, "_host_parts", None)
+                if hp is not None:
+                    from tpusolve.amg.structured import structured_mg_setup_fast
+                    pre = structured_mg_setup_fast(
+                        self._A_solve, self.config.boomeramg, host_parts=hp)
+                else:
+                    pre = structured_mg_setup(self._A_solve,
+                                              self.config.boomeramg,
+                                              A_host=self.A_host)
             else:
                 pre = boomeramg_setup(self._A_solve, self.config.boomeramg,
                                       A_host=self.A_host)

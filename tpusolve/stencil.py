@@ -267,3 +267,37 @@ def laplace27_scipy(nx, ny, nz, pgrid=(1, 1, 1)):
                        (np.concatenate(rows), np.concatenate(cols))),
                       shape=(n, n))
     return A, np.concatenate(rhs_all)
+
+
+def laplace27_host_parts(nparts: int, nx: int, ny: int, nz: int, *,
+                         pgrid: tuple[int, int, int] | None = None):
+    """Host-side structured payload for preconditioner setup.
+
+    Returns ``(dia, offd)`` where ``dia`` maps offset tuples (dz, dy, dx) to
+    box-shaped value arrays (identical for every device — the diag block is
+    pure box geometry), and ``offd`` is the per-device list of
+    (local_rows, global_cols, vals) boundary-shell entries.  Feed to
+    ``structured_mg_setup(..., host_parts=...)`` to run the whole setup in
+    DIA algebra (no sparse matrices, no device gathers).
+    """
+    from tpusolve.mesh import compute_3d_process_distribution
+    if pgrid is None:
+        pgrid = compute_3d_process_distribution(nparts)
+    offs, dia_one = _dia_box(nx, ny, nz, np.float64)
+    box = (nz, ny, nx)
+    dia = {}
+    strides = (ny * nx, nx, 1)
+    for k, off in enumerate(offs):
+        dz, r = divmod(int(off), ny * nx)
+        if r > (ny * nx) // 2:
+            dz, r = dz + 1, r - ny * nx
+        dy, dx = divmod(r, nx)
+        if dx > nx // 2:
+            dy, dx = dy + 1, dx - nx
+        dia[(dz, dy, dx)] = dia_one[k].reshape(box)
+    offd = []
+    for part in range(nparts):
+        (olr, ogc, ov), _ = _local_offd_and_rhs(part, nx, ny, nz, pgrid,
+                                                np.float64)
+        offd.append((olr, ogc, ov))
+    return dia, offd
