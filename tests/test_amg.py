@@ -240,3 +240,26 @@ class TestAMGSolve:
         res = pcg_setup(A, pre.apply, tol=1e-10, maxiter=100)(b)
         assert bool(res.converged)
         assert int(res.iters) <= 25
+
+
+class TestCFRelax:
+    def test_relax_order_1_converges(self, mesh8):
+        A, b, x_ref = laplace27(mesh8, 5, 5, 4)
+        cfg = BoomerAMGConfig(relax_order=1, max_coarse_size=32,
+                              num_sweeps=1)
+        pre = boomeramg_setup(A, cfg)
+        assert pre.levels[0].cmask is not None
+        res = pcg_setup(A, pre, tol=1e-10, maxiter=100)(b)
+        assert bool(res.converged)
+        assert int(res.iters) <= 25
+        x = from_device_vector(res.x, A.row_offsets, A.row_pad)
+        np.testing.assert_allclose(x, 1.0, rtol=1e-7)
+
+    def test_cmask_matches_splitting(self, mesh8):
+        from tpusolve.amg import strength as st, coarsen as co
+        A, b, _ = laplace27(mesh8, 4, 4, 4)
+        cfg = BoomerAMGConfig(relax_order=1, max_coarse_size=16)
+        pre = boomeramg_setup(A, cfg)
+        m = from_device_vector(pre.levels[0].cmask, A.row_offsets, A.row_pad)
+        assert set(np.unique(m)) <= {0.0, 1.0}
+        assert 0 < m.sum() < A.shape[0]

@@ -59,6 +59,7 @@ class Level:
     R: ShardedMatrix | None          # P^T
     dinv_l1: jax.Array | None        # 1 / l1 row norms (padded, sharded)
     dinv: jax.Array | None           # 1 / diag        (padded, sharded)
+    cmask: jax.Array | None = None   # 1.0 at C-points (CF relax order)
     cheby_bounds: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True))
     n: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -193,6 +194,11 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
             Ac = galerkin.nongalerkin_sparsify(Ac, ng_tol)
 
         lev = _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg)
+        if cfg.relax_order == 1:
+            from tpusolve.matrix.vectors import to_device_vector
+            lev.cmask = to_device_vector(
+                mesh, (split == coarsen_mod.C_PT).astype(np.float64),
+                np.asarray(A_sh.row_offsets), A_sh.row_pad, dtype=dtype)
         row_off = np.asarray(A_sh.row_offsets)
         col_off = row_decomposition(nc, A_sh.nparts)
         lev.P = _sharded_from_scipy(mesh, P_host, dtype,
@@ -261,12 +267,21 @@ def _build_cycle(pre: AMGPreconditioner, kind_down, kind_up,
     gamma = 2 if cfg.cycle_type == 2 else 1
     weight = 1.0
 
+    cf_order = cfg.relax_order == 1
+
     def smooth(lev: Level, b, x, kind, ns):
         if ns <= 0:
             return x
+        use_cf = cf_order and lev.cmask is not None
         if kind == smoothers.RELAX_L1_JACOBI:
+            if use_cf:
+                return smoothers.cf_jacobi_sweeps(lev.A, lev.dinv_l1,
+                                                  lev.cmask, b, x, ns, 1.0)
             return smoothers.jacobi_sweeps(lev.A, lev.dinv_l1, b, x, ns, 1.0)
         if kind == smoothers.RELAX_JACOBI:
+            if use_cf:
+                return smoothers.cf_jacobi_sweeps(lev.A, lev.dinv, lev.cmask,
+                                                  b, x, ns, weight)
             return smoothers.jacobi_sweeps(lev.A, lev.dinv, b, x, ns, weight)
         if kind == smoothers.RELAX_CHEBYSHEV:
             for _ in range(ns):

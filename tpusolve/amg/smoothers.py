@@ -44,6 +44,21 @@ def jacobi_sweeps(A, dinv, b, x, nsweeps: int, weight: float = 1.0):
     return lax.fori_loop(0, nsweeps, body, x)
 
 
+def cf_jacobi_sweeps(A, dinv, cmask, b, x, nsweeps: int,
+                     weight: float = 1.0):
+    """CF-ordered relaxation (``relax_order: 1``, ref:
+    src/HypreSystem.cpp:153-156): each sweep updates C-points first, then
+    F-points with the fresh C values — two masked Jacobi half-sweeps (the
+    parallel substitute for CF Gauss-Seidel).  ``cmask`` is 1.0 at C-points,
+    0.0 at F-points (padded slots 0)."""
+    fmask = 1.0 - cmask
+
+    def body(_, x):
+        x = x + weight * cmask * dinv * (b - spmv(A, x))
+        return x + weight * fmask * dinv * (b - spmv(A, x))
+    return lax.fori_loop(0, nsweeps, body, x)
+
+
 def chebyshev_bounds(A_csr: sp.csr_matrix, dinv: np.ndarray,
                      iters: int = 20, seed: int = 0) -> float:
     """Estimate lambda_max(D^-1 A) by power iteration on the host."""

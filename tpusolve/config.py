@@ -79,8 +79,9 @@ class SolverConfig:
     num_tests: int = 1
     csv_profile_file: str | None = None
     # kernel-implementation selection, the TPU analog of the reference's
-    # vendor-kernel toggles (ref: src/main.cpp:127-156)
-    spmv_use_pallas: bool = True
+    # vendor-kernel toggles (ref: src/main.cpp:127-156): allow the DIA
+    # fast layout at assembly (else padded-ELL everywhere)
+    spmv_use_dia: bool = True
     # precision policy: "double" matches the reference's f64; "single" is the
     # TPU-native default path with f32 + compensated reductions
     precision: str = "double"

@@ -32,7 +32,8 @@ def main(argv=None) -> int:
     cfg = load_config(argv[0])
 
     import jax
-    if cfg.solver.precision == "double":
+    if cfg.solver.precision in ("double", "mixed"):
+        # mixed runs its refinement residuals in f64
         jax.config.update("jax_enable_x64", True)
 
     from tpusolve.mesh import make_mesh

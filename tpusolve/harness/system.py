@@ -58,6 +58,13 @@ class LinearSystem:
         prec = config.solver.precision
         if prec not in ("double", "single", "mixed"):
             raise ValueError(f"unknown precision: {prec}")
+        if prec in ("double", "mixed") and not jax.config.jax_enable_x64:
+            # without x64, "f64" arrays silently demote to f32 and
+            # iterative refinement stalls at the f32 floor
+            raise RuntimeError(
+                f"precision '{prec}' requires jax_enable_x64; "
+                "set jax.config.update('jax_enable_x64', True) "
+                "(the CLI does this automatically)")
         self.precision = prec
         # "mixed": f32 operators for Krylov/preconditioner + an f64 copy for
         # iterative-refinement residuals (rtol 1e-8 targets in f32 compute)
@@ -122,13 +129,14 @@ class LinearSystem:
                     self._log(f"  Shard {p:4d}:: iLower = {lo:9d}; "
                               f"iUpper = {hi:9d}; numRows = {hi - lo + 1}")
         with self.timers.span("Assemble system"):
+            allow_dia = self.config.solver.spmv_use_dia
             self.A = ShardedMatrix.from_coo(
                 self.mesh, (n, n), rows, cols, vals, dtype=self.dtype,
-                row_offsets=offsets)
+                row_offsets=offsets, allow_dia=allow_dia)
             if self.precision == "mixed":
                 self.A_lo = ShardedMatrix.from_coo(
                     self.mesh, (n, n), rows, cols, vals, dtype=np.float32,
-                    row_offsets=offsets)
+                    row_offsets=offsets, allow_dia=allow_dia)
             self.A_host = sp.csr_matrix(
                 (vals, (rows, cols)), shape=(n, n))
             self.A_host.sum_duplicates()
