@@ -21,7 +21,7 @@ reference's reach into ``hypre_ParAMGData`` for the AMG-matrix dump
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
@@ -39,7 +39,7 @@ from tpusolve.amg import coarsen as coarsen_mod
 from tpusolve.amg import interp as interp_mod
 from tpusolve.amg import galerkin
 from tpusolve.amg import smoothers
-from tpusolve.krylov.common import SolveResult, norm, safe_div, stop_target
+from tpusolve.krylov.common import SolveResult
 from tpusolve.krylov.stationary import stationary_solve_setup
 
 

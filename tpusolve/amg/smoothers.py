@@ -20,12 +20,9 @@ from __future__ import annotations
 
 import numpy as np
 import scipy.sparse as sp
-import jax
-import jax.numpy as jnp
 from jax import lax
 
 from tpusolve.matrix.spmv import spmv
-from tpusolve.matrix.vectors import pad_vector
 
 
 def l1_row_norms(A_csr: sp.csr_matrix) -> np.ndarray:

@@ -16,8 +16,6 @@ Values are parsed into typed dataclasses; unknown keys are preserved in
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any
-
 import yaml
 
 

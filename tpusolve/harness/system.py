@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from tpusolve.config import AppConfig
 from tpusolve.formats import mmio, ij
 from tpusolve.matrix.sharded import ShardedMatrix
-from tpusolve.matrix.spmv import spmv
 from tpusolve.matrix.vectors import to_device_vector, from_device_vector
 from tpusolve.mesh import row_decomposition, local_range
 from tpusolve.timers import Timers

@@ -31,7 +31,6 @@ from typing import Any
 import numpy as np
 import scipy.sparse as sp
 import jax
-import jax.numpy as jnp
 from jax import lax
 
 from tpusolve.config import ILUConfig
