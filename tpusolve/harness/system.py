@@ -199,18 +199,25 @@ class LinearSystem:
     def _build_27pt_stencil(self):
         ls = self.config.linear_system
         with self.timers.span("Build 27Pt Stencil HYPRE matrix"):
-            A, b, x_ref, A_host = laplace27(
-                self.mesh, ls.nx, ls.ny, ls.nz, dtype=self.dtype,
-                with_host=True)
+            pfmg = self._precond_name == "pfmg"
+            if pfmg and min(ls.nx, ls.ny) >= 3:
+                # structured payload reuses the generator's arrays and the
+                # matrix-free setup never needs a host CSR
+                A, b, x_ref, hp = laplace27(
+                    self.mesh, ls.nx, ls.ny, ls.nz, dtype=self.dtype,
+                    with_parts=True)
+                self._host_parts = hp
+                self.A_host = None
+            else:
+                A, b, x_ref, A_host = laplace27(
+                    self.mesh, ls.nx, ls.ny, ls.nz, dtype=self.dtype,
+                    with_host=True)
+                self.A_host = A_host
+                self._host_parts = None
             self.A = A
             if self.precision == "mixed":
                 self.A_lo, _, _ = laplace27(self.mesh, ls.nx, ls.ny, ls.nz,
                                             dtype=np.float32)
-            self.A_host = A_host
-            # structured payload: lets pfmg run its matrix-free setup
-            from tpusolve.stencil import laplace27_host_parts
-            self._host_parts = laplace27_host_parts(
-                self.mesh.devices.size, ls.nx, ls.ny, ls.nz)
             self.rhs = [b]
             self.sln_ref = [np.ones(A.shape[0])]
         n = A.shape[0]

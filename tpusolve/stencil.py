@@ -170,7 +170,8 @@ def _local_offd_and_rhs(part, nx, ny, nz, pgrid, dtype):
 
 def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
               dtype=np.float64, pgrid: tuple[int, int, int] | None = None,
-              axis: str = ROWS_AXIS, with_host: bool = False):
+              axis: str = ROWS_AXIS, with_host: bool = False,
+              with_parts: bool = False):
     """Build the sharded 27-pt system on ``mesh``.
 
     Returns ``(A, b, x_ref)``: the sharded matrix, the padded sharded RHS,
@@ -180,7 +181,10 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
 
     ``with_host=True`` appends the host CSR as a 4th return value — pass it
     to ``boomeramg_setup(..., A_host=...)`` to avoid a device->host gather
-    of the operator during preconditioner setup.
+    of the operator during preconditioner setup.  ``with_parts=True``
+    appends the structured (dia dict, offd parts) payload instead — for
+    ``structured_mg_setup_fast`` — reusing the generator's own arrays (no
+    recomputation).
     """
     nparts = mesh.devices.size
     if pgrid is None:
@@ -206,6 +210,9 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
                                          offd_parts, dtype=dtype, axis=axis,
                                          dia_shape=(nz, ny, nx))
         parts = None
+        if with_parts:
+            host_parts = (_dia_arrays_to_dict(offs, dia_one, (nz, ny, nx)),
+                          offd_parts)
     else:
         # tiny boxes can alias DIA offsets; use the generic COO path
         parts, rhs_parts = [], []
@@ -220,6 +227,11 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
                          dtype=dtype, axis=axis)
     x_ref = to_device_vector(mesh, np.ones(n, dtype), A.row_offsets,
                              A.row_pad, dtype=dtype, axis=axis)
+    if with_parts:
+        if parts is not None:
+            raise ValueError("with_parts requires the DIA fast path "
+                             "(nx, ny >= 3)")
+        return A, b, x_ref, host_parts
     if with_host:
         import scipy.sparse as sp
         rows_l, cols_l, vals_l = [], [], []
@@ -269,6 +281,23 @@ def laplace27_scipy(nx, ny, nz, pgrid=(1, 1, 1)):
     return A, np.concatenate(rhs_all)
 
 
+def _dia_arrays_to_dict(offs, dia_one, box):
+    """(flat offsets, (27, R) values) -> {(dz,dy,dx): box array} views."""
+    nz, ny, nx = box
+    dia = {}
+    for k, off in enumerate(offs):
+        dz, r = divmod(int(off), ny * nx)
+        if r > (ny * nx) // 2:
+            dz, r = dz + 1, r - ny * nx
+        dy, dx = divmod(r, nx)
+        if dx > nx // 2:
+            dy, dx = dy + 1, dx - nx
+        # setup math (Galerkin RAP, smoother norms) runs in f64 regardless
+        # of the device dtype
+        dia[(dz, dy, dx)] = dia_one[k].reshape(box).astype(np.float64)
+    return dia
+
+
 def laplace27_host_parts(nparts: int, nx: int, ny: int, nz: int, *,
                          pgrid: tuple[int, int, int] | None = None):
     """Host-side structured payload for preconditioner setup.
@@ -284,17 +313,7 @@ def laplace27_host_parts(nparts: int, nx: int, ny: int, nz: int, *,
     if pgrid is None:
         pgrid = compute_3d_process_distribution(nparts)
     offs, dia_one = _dia_box(nx, ny, nz, np.float64)
-    box = (nz, ny, nx)
-    dia = {}
-    strides = (ny * nx, nx, 1)
-    for k, off in enumerate(offs):
-        dz, r = divmod(int(off), ny * nx)
-        if r > (ny * nx) // 2:
-            dz, r = dz + 1, r - ny * nx
-        dy, dx = divmod(r, nx)
-        if dx > nx // 2:
-            dy, dx = dy + 1, dx - nx
-        dia[(dz, dy, dx)] = dia_one[k].reshape(box)
+    dia = _dia_arrays_to_dict(offs, dia_one, (nz, ny, nx))
     offd = []
     for part in range(nparts):
         (olr, ogc, ov), _ = _local_offd_and_rhs(part, nx, ny, nz, pgrid,
