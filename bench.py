@@ -68,32 +68,36 @@ def main() -> int:
     bytes_per = (mat_bytes
                  + A.padded_ncols * itemsize         # x read
                  + A.padded_nrows * itemsize)        # y write
-    # Two chain lengths; the slope isolates per-SpMV time from the fixed
-    # per-call dispatch overhead (tens of ms through remote TPU relays).
-    n_lo, n_hi = 32, 256
+    # One chain, with the fixed per-call dispatch overhead (tens of ms
+    # through remote TPU relays) calibrated by a trivial jitted call and
+    # subtracted — single-call timing alone is 5-80x off on such backends.
+    n_it = 192
 
-    def make_chain(n):
-        @jax.jit
-        def chain(x):
-            # power-iteration-style chain keeps data on device; scaling by
-            # the spectral bound prevents overflow
-            def body(_, x):
-                return spmv(A, x) * jnp.float32(1.0 / 52.0)
-            y = lax.fori_loop(0, n, body, x)
-            return jnp.sum(jnp.abs(y))     # scalar forces real execution
-        return chain
+    @jax.jit
+    def chain(x):
+        # power-iteration-style chain keeps data on device; scaling by the
+        # spectral bound prevents overflow
+        def body(_, x):
+            return spmv(A, x) * jnp.float32(1.0 / 52.0)
+        y = lax.fori_loop(0, n_it, body, x)
+        return jnp.sum(jnp.abs(y))         # scalar forces real execution
 
-    times = {}
-    for n_it in (n_lo, n_hi):
-        chain = make_chain(n_it)
-        float(chain(b))                    # compile + warm up
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(chain(b))
-            best = min(best, time.perf_counter() - t0)
-        times[n_it] = best
-    per_spmv = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x) * jnp.float32(1.0)
+
+    float(trivial(b))                      # compile + warm the d2h path
+    float(chain(b))                        # compile + warm up
+    overhead = float("inf")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(trivial(b))
+        overhead = min(overhead, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(chain(b))
+        best = min(best, time.perf_counter() - t0)
+    per_spmv = max(best - overhead, 1e-9) / n_it
     gbps = bytes_per / per_spmv / 1e9
 
     sol = device_hbm_gbps(kind)
