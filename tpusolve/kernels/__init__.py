@@ -6,7 +6,7 @@ TPU v5e (128^3 27-pt stencil, f32, per-SpMV slope timing):
 =====================================================  ============
 formulation                                            effective BW
 =====================================================  ============
-padded-ELL, XLA gather (x[cols])                       ~0.03 GB/s
+padded-ELL, XLA gather (x[cols])                       ~0.9 GB/s
 1-D DIA, jnp.concatenate shifts                        ~70  GB/s
 1-D DIA, pad-once + static slices                      ~87  GB/s
 2-D (rows,128) DIA, static slices                      ~70  GB/s
@@ -17,6 +17,8 @@ Pallas kernel, lane rolls (pltpu.roll) per diagonal    ~7   GB/s
 
 Conclusions that shape the format layer (tpusolve/matrix):
 
+* XLA gathers cost ~9 ns/element regardless of column locality (random vs
+  banded identical) — slope-timed, 496 ms per 128^3 27-wide SpMV.
 * XLA fuses *static multi-dim slices of one padded buffer* into a single
   streaming pass at ~90% of HBM speed of light — when the array's minor dim
   stays lane-aligned (the 3-D box view).  Flattened views force relayouts.
