@@ -181,6 +181,12 @@ def parse_config(doc: dict) -> AppConfig:
     # multi-component rhs_file0..N / sln_file0..N (ref: src/HypreSystem.cpp:1636-1645)
     ncomp = linsys.num_components
     if ncomp > 1:
+        missing = [f"rhs_file{i}" for i in range(ncomp)
+                   if linsys_node.get(f"rhs_file{i}") is None]
+        if missing:
+            raise ValueError(
+                f"num_components={ncomp} requires rhs_file0..rhs_file{ncomp-1}"
+                f"; missing: {', '.join(missing)}")
         linsys.rhs_files = [linsys_node.get(f"rhs_file{i}") for i in range(ncomp)]
         slns = [linsys_node.get(f"sln_file{i}") for i in range(ncomp)]
         if all(s is not None for s in slns):

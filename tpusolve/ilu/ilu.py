@@ -140,6 +140,7 @@ class ILUPreconditioner:
     notes: list[str]
     _apply: Any = None
     _apply_fn: Any = None
+    _A: Any = None            # operator the factorization approximates
 
     def pair(self):
         """Operator-pair protocol: state rides as a jit argument."""
@@ -150,12 +151,13 @@ class ILUPreconditioner:
         return self._apply(r)
 
     def solve(self, b, x0=None, tol: float = 0.0, maxiter: int = 1):
-        """Standalone ILU iteration (reference method ``ilu``,
-        src/HypreSystem.cpp:457-497): stationary x += M(b - A x) is not
-        available without A; as in HYPRE, the standalone ILU 'solver' applies
-        the factorization — callers pair it with a Krylov loop."""
-        raise NotImplementedError(
-            "use ilu as a preconditioner inside a Krylov solver")
+        """Standalone ILU solver (reference method ``ilu``,
+        src/HypreSystem.cpp:457-497): stationary iteration
+        x <- x + M(b - A x) with M = the stored factorization."""
+        from tpusolve.krylov.stationary import stationary_solve_setup
+        solve = stationary_solve_setup(self._A, self.pair(),
+                                       tol=tol, maxiter=maxiter)
+        return solve(b, x0)
 
 
 def ilu_setup(A: ShardedMatrix, config: ILUConfig | None = None, *,
@@ -191,7 +193,7 @@ def ilu_setup(A: ShardedMatrix, config: ILUConfig | None = None, *,
     pre = ILUPreconditioner(L=L_sh, U=U_sh, udiag_inv=udiag_inv,
                             lower_iters=max(cfg.ilu_lower_jacobi_iters, 1),
                             upper_iters=max(cfg.ilu_upper_jacobi_iters, 1),
-                            notes=notes)
+                            notes=notes, _A=A)
 
     nl, nu = pre.lower_iters, pre.upper_iters
 

@@ -29,19 +29,22 @@ def stationary_solve_setup(A, M, *, tol: float = 0.0, atol: float = 0.0,
         x = jnp.zeros_like(b) if x0 is None else x0
         bnorm = norm(b)
         target = stop_target(bnorm, tol, atol)
-        rnorm = norm(b - matvec(x))
+        r0 = b - matvec(x)
 
         def cond(state):
-            x, rnorm, it = state
+            x, r, rnorm, it = state
             return (it < maxiter) & (rnorm > target)
 
         def body(state):
-            x, _, it = state
-            r = b - matvec(x)
+            # one matvec per iteration: the residual carried in state serves
+            # both the update and the convergence norm
+            x, r, _, it = state
             x = x + precond(r)
-            return x, norm(b - matvec(x)), it + 1
+            r = b - matvec(x)
+            return x, r, norm(r), it + 1
 
-        x, rnorm, it = lax.while_loop(cond, body, (x, rnorm, jnp.int32(0)))
+        x, _, rnorm, it = lax.while_loop(
+            cond, body, (x, r0, norm(r0), jnp.int32(0)))
         return SolveResult(x=x, iters=it, relres=safe_div(rnorm, bnorm),
                            converged=rnorm <= target)
 

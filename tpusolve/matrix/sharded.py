@@ -186,11 +186,10 @@ class ShardedMatrix:
         col_pad = max(1, int(col_counts.max()))
         same_partition = np.array_equal(row_offsets, col_offsets)
 
-        # --- split diag/offd, ghost lists, DIA candidacy ---
-        diag_parts, offd_parts, ghost_lists = [], [], []
+        # --- split diag/offd, DIA candidacy ---
+        diag_parts, offd_parts = [], []
         dia_offset_sets = []
         total_diag_nnz = 0
-        ko = 1
         for p in range(nparts):
             lr, gc, v = parts[p]
             lr = np.asarray(lr, np.int64)
@@ -199,20 +198,11 @@ class ShardedMatrix:
             lo, hi = col_offsets[p], col_offsets[p + 1]
             is_diag = (gc >= lo) & (gc < hi)
             dlr, dlc, dv = lr[is_diag], (gc[is_diag] - lo), v[is_diag]
-            olr, ogc, ov = lr[~is_diag], gc[~is_diag], v[~is_diag]
-            ghosts = np.unique(ogc)
-            og = np.searchsorted(ghosts, ogc)
             diag_parts.append((dlr, dlc, dv))
-            offd_parts.append((olr, og, ov))
-            ghost_lists.append(ghosts)
+            offd_parts.append((lr[~is_diag], gc[~is_diag], v[~is_diag]))
             total_diag_nnz += dlr.size
             if allow_dia and same_partition and dlr.size:
                 dia_offset_sets.append(np.unique(dlc - dlr))
-            nr = int(row_counts[p])
-            if olr.size:
-                ko = max(ko, int(np.bincount(olr, minlength=nr).max()))
-        ko = _ceil_to(ko, ell_align)
-        ghost_pad = max(1, max(g.size for g in ghost_lists))
 
         use_dia = False
         dia_union = None
@@ -228,24 +218,10 @@ class ShardedMatrix:
             else:
                 use_dia = 0 < D <= DIA_MAX_OFFSETS and fill >= DIA_MIN_FILL
 
-        # --- halo plan ---
-        send_counts = np.zeros((nparts, nparts), np.int64)
-        for q in range(nparts):
-            st = np.searchsorted(ghost_lists[q], col_offsets)
-            send_counts[:, q] = np.diff(st)
-        send_pad = max(1, int(send_counts.max()))
-
-        send_idx = np.zeros((nparts, nparts, send_pad), np.int32)
-        ghost_slot = np.zeros((nparts, ghost_pad), np.int32)
-        for q in range(nparts):
-            gl = ghost_lists[q]
-            st = np.searchsorted(gl, col_offsets)
-            owners = np.searchsorted(col_offsets, gl, side="right") - 1
-            pos = np.arange(gl.size) - st[owners]
-            ghost_slot[q, :gl.size] = owners * send_pad + pos
-            for p in range(nparts):
-                seg = gl[st[p]:st[p + 1]] - col_offsets[p]
-                send_idx[p, q, :seg.size] = seg
+        # --- offd block + halo plan (shared implementation) ---
+        (ovals, ocols, send_idx, ghost_slot, offd_nnz) = _build_offd_and_halo(
+            nparts, row_pad, row_counts, col_offsets, offd_parts, dtype,
+            ell_align)
 
         # --- diag block: DIA or ELL ---
         if use_dia:
@@ -280,12 +256,6 @@ class ShardedMatrix:
             dia_vals = None
             dia_offsets = None
 
-        # --- offd block: always ELL ---
-        ovals = np.zeros((nparts, row_pad, ko), dtype)
-        ocols = np.zeros((nparts, row_pad, ko), np.int32)
-        for p in range(nparts):
-            _ell_fill(ovals[p], ocols[p], *offd_parts[p])
-
         # --- main diagonal (square, same partition) ---
         diag_main = np.zeros((nparts, row_pad), dtype)
         for p in range(nparts):
@@ -312,7 +282,7 @@ class ShardedMatrix:
             row_pad=row_pad, col_pad=col_pad, dia_offsets=dia_offsets,
             dia_shape=(tuple(int(v) for v in dia_shape)
                        if dia_shape is not None else None),
-            has_offd=any(len(p[0]) for p in offd_parts),
+            has_offd=offd_nnz > 0,
             mesh=mesh, axis=axis, nnz=nnz)
 
     # ------------------------------------------------------------------

@@ -40,7 +40,13 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        path = _LIB if os.path.exists(_LIB) else _compile()
+        # rebuild when the source is newer than the binary (a stale or
+        # foreign-arch .so would otherwise be silently preferred)
+        fresh = (os.path.exists(_LIB) and os.path.exists(_SRC)
+                 and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC))
+        path = _LIB if fresh else _compile()
+        if path is None and os.path.exists(_LIB):
+            path = _LIB  # no toolchain: fall back to the existing binary
         if path is None:
             return None
         try:

@@ -43,11 +43,12 @@ inline const char* parse_ll(const char* p, const char* end, int64_t* out) {
 }
 
 inline const char* parse_double(const char* p, const char* end, double* out) {
+    // skip_ws is the only whitespace consumer: strtod would also skip
+    // newlines, so a short line would silently bleed into the next row.
     p = skip_ws(p, end);
+    if (p >= end || *p == '\n') return nullptr;
     char* q = nullptr;
-    // strtod stops at the first invalid char; the mmap is not
-    // NUL-terminated, but numeric fields are always followed by
-    // whitespace/newline well before the mapping end (we map one guard page)
+    // the buffer is NUL-terminated by map_file, so strtod cannot overrun
     *out = strtod(p, &q);
     if (q == p) return nullptr;
     return q;
