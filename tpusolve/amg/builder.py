@@ -181,6 +181,11 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
         nc = int((split == coarsen_mod.C_PT).sum())
         if nc == 0 or nc >= n:
             break  # coarsening stalled: stop here, direct-solve this level
+        if nc < min_coarse:
+            # BoomerAMG stops when the next grid would drop below
+            # min_coarse_size (ref: HYPRE_BoomerAMGSetMinCoarseSize,
+            # src/HypreSystem.cpp:216-219)
+            break
         P_host, note = interp_mod.build_interpolation(
             Ah, S, split, cfg.interp_type, cfg.trunc_factor, cfg.p_max_elmts)
         if note and note not in notes:

@@ -133,12 +133,20 @@ class LinearSystem:
                 self.mesh, (n, n), rows, cols, vals, dtype=self.dtype,
                 row_offsets=offsets, allow_dia=allow_dia)
             if self.precision == "mixed":
-                self.A_lo = ShardedMatrix.from_coo(
-                    self.mesh, (n, n), rows, cols, vals, dtype=np.float32,
-                    row_offsets=offsets, allow_dia=allow_dia)
-            self.A_host = sp.csr_matrix(
-                (vals, (rows, cols)), shape=(n, n))
-            self.A_host.sum_duplicates()
+                # f32 twin by device-side cast — not a second assembly
+                self.A_lo = self.A.astype(np.float32)
+            if self._needs_host_csr():
+                self.A_host = sp.csr_matrix(
+                    (vals, (rows, cols)), shape=(n, n))
+                self.A_host.sum_duplicates()
+
+    def _needs_host_csr(self) -> bool:
+        """Keep a host CSR only for consumers that factor on the host
+        (AMG/ILU setup) or serialize the system; with preconditioner
+        ``none`` the f64+f32+host triplication is pure waste."""
+        return (self._precond_name in ("boomeramg", "ilu", "pfmg")
+                or self._method in ("boomeramg", "ilu")
+                or self.config.linear_system.write_outputs)
 
     def _stage_vector(self, vec_np):
         return to_device_vector(self.mesh, vec_np, self.A.row_offsets,
@@ -208,16 +216,20 @@ class LinearSystem:
                     with_parts=True)
                 self._host_parts = hp
                 self.A_host = None
-            else:
+            elif self._needs_host_csr():
                 A, b, x_ref, A_host = laplace27(
                     self.mesh, ls.nx, ls.ny, ls.nz, dtype=self.dtype,
                     with_host=True)
                 self.A_host = A_host
                 self._host_parts = None
+            else:
+                A, b, x_ref = laplace27(self.mesh, ls.nx, ls.ny, ls.nz,
+                                        dtype=self.dtype)
+                self.A_host = None
+                self._host_parts = None
             self.A = A
             if self.precision == "mixed":
-                self.A_lo, _, _ = laplace27(self.mesh, ls.nx, ls.ny, ls.nz,
-                                            dtype=np.float32)
+                self.A_lo = A.astype(np.float32)
             self.rhs = [b]
             self.sln_ref = [np.ones(A.shape[0])]
         n = A.shape[0]
@@ -385,7 +397,9 @@ class LinearSystem:
             offsets = np.asarray(self.A.row_offsets)
             nparts = self.A.nparts
             if ls.write_outputs:
-                Ac = self.A_host.tocoo()
+                Ah = self.A_host if self.A_host is not None else \
+                    self.A.to_scipy()
+                Ac = Ah.tocoo()
                 ij.write_matrix(ls.output_matrix_name, Ac.row, Ac.col,
                                 Ac.data, offsets, ncols=self.A.shape[1])
                 for i, b in enumerate(self.rhs):

@@ -400,6 +400,18 @@ class ShardedMatrix:
         vals = np.concatenate(vals) if vals else np.zeros(0)
         return sp.csr_matrix((vals, (rows, cols)), shape=self.shape)
 
+    def astype(self, dtype) -> "ShardedMatrix":
+        """Value-dtype cast of the same operator (layout, plan and index
+        arrays shared/unchanged).  Used for the mixed-precision f32 twin —
+        a device-side cast instead of a second full assembly
+        (ref analog: one IJ matrix, two exec precisions)."""
+        if self.dtype == dtype:
+            return self
+        cast = lambda a: a.astype(dtype) if a is not None else None
+        return dataclasses.replace(
+            self, diag_vals=cast(self.diag_vals), dia_vals=cast(self.dia_vals),
+            offd_vals=cast(self.offd_vals), diag=cast(self.diag))
+
     def diagonal_padded(self) -> jax.Array:
         """Main diagonal as a padded sharded vector of shape
         (nparts * row_pad,), 1.0 at padded slots."""
