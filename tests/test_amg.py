@@ -263,3 +263,114 @@ class TestCFRelax:
         m = from_device_vector(pre.levels[0].cmask, A.row_offsets, A.row_pad)
         assert set(np.unique(m)) <= {0.0, 1.0}
         assert 0 < m.sum() < A.shape[0]
+
+
+class TestCoarseRelax:
+    """relax_coarse / num_coarse_sweeps wiring + dense-pinv guard
+    (ref: src/HypreSystem.cpp:129-151 per-phase coarse knobs)."""
+
+    def _system(self, mesh, nx, ny, nz):
+        A, b, _ = laplace27(mesh, nx, ny, nz, dtype=np.float64)
+        return A, b
+
+    def test_relax_coarse_sweeps_instead_of_pinv(self, mesh8):
+        A, b = self._system(mesh8, 6, 6, 6)
+        cfg = BoomerAMGConfig(max_coarse_size=64, relax_coarse=18,
+                              num_coarse_sweeps=4)
+        pre = boomeramg_setup(A, cfg)
+        # placeholder, not an (Npad_c, Npad_c) dense inverse
+        assert pre.coarse_inv.shape == (1, 1)
+        res = pcg_setup(A, pre.apply, tol=1e-10, maxiter=200)(b)
+        assert bool(res.converged)
+        x = from_device_vector(res.x, A.row_offsets, A.row_pad)
+        np.testing.assert_allclose(x, 1.0, rtol=1e-6)
+
+    def test_dense_guard_substitutes_relaxation(self, mesh8, monkeypatch):
+        import tpusolve.amg.builder as builder_mod
+        monkeypatch.setattr(builder_mod, "DENSE_COARSE_MAX", 8)
+        A, b = self._system(mesh8, 6, 6, 6)
+        cfg = BoomerAMGConfig(max_coarse_size=64)
+        pre = boomeramg_setup(A, cfg)
+        assert any("dense" in n for n in pre.notes)
+        assert pre.coarse_inv.shape == (1, 1)
+        res = pcg_setup(A, pre.apply, tol=1e-10, maxiter=200)(b)
+        assert bool(res.converged)
+
+    def test_default_coarse_is_direct(self, mesh8):
+        A, b = self._system(mesh8, 5, 5, 5)
+        pre = boomeramg_setup(A, BoomerAMGConfig(max_coarse_size=32))
+        assert pre.coarse_inv.shape[0] > 1
+
+
+class TestAggressiveAndSmoothers:
+    """agg_num_levels / agg_interp_type / smooth_type wiring
+    (ref: src/HypreSystem.cpp:207-213, :237-321)."""
+
+    def _system(self, mesh, s):
+        A, b, _ = laplace27(mesh, s, s, s, dtype=np.float64)
+        return A, b
+
+    def test_aggressive_pmis_much_coarser(self):
+        A = laplace_2d(24, 24)
+        S = strength_mod.classical_strength(A, 0.25)
+        std = coarsen_mod.pmis(S)
+        agg = coarsen_mod.aggressive_pmis(S)
+        assert (agg == C_PT).sum() < 0.7 * (std == C_PT).sum()
+        # A2 semantics: F-points are distance <=1 from a first-pass C-point,
+        # which is distance <=2 from a surviving C-point -> every F-point is
+        # within distance 3 of the final C set
+        Sb = S.astype(bool)
+        S2 = ((Sb @ Sb) + Sb).tocsr()
+        S3 = ((S2 @ Sb) + S2).tocsr()
+        c_ind = (agg == C_PT).astype(float)
+        reach = (S3 @ c_ind) > 0
+        f_pts = agg == coarsen_mod.F_PT
+        assert np.all(reach[f_pts] | (np.diff(S3.indptr)[f_pts] == 0))
+
+    def test_multipass_interp_covers_distance2(self):
+        A = laplace_2d(16, 16)
+        S = strength_mod.classical_strength(A, 0.25)
+        split = coarsen_mod.aggressive_pmis(S)
+        P = interp_mod.multipass_interpolation(A, S, split)
+        assert P.shape[1] == int((split == C_PT).sum())
+        # every row interpolates (no empty F rows)
+        counts = np.diff(P.tocsr().indptr)
+        assert (counts > 0).all()
+        # constants preserved where the full interpolation-path neighborhood
+        # (up to 2 passes deep) stays interior: >= 3 away from the boundary
+        ones = np.ones(P.shape[1])
+        xy = np.arange(16)
+        deep = ((xy[:, None] >= 3) & (xy[:, None] <= 12)
+                & (xy[None, :] >= 3) & (xy[None, :] <= 12)).ravel()
+        interp1 = P @ ones
+        np.testing.assert_allclose(interp1[deep & (split == 0)], 1.0,
+                                   rtol=1e-10)
+
+    def test_aggressive_amg_converges(self, mesh8):
+        A, b = self._system(mesh8, 6)
+        cfg = BoomerAMGConfig(agg_num_levels=1, max_coarse_size=32)
+        pre = boomeramg_setup(A, cfg)
+        assert any("aggressive" in n for n in pre.notes)
+        res = pcg_setup(A, pre.apply, tol=1e-10, maxiter=100)(b)
+        assert bool(res.converged)
+        x = from_device_vector(res.x, A.row_offsets, A.row_pad)
+        np.testing.assert_allclose(x, 1.0, rtol=1e-6)
+
+    def test_ilu_smoother_levels(self, mesh8):
+        A, b = self._system(mesh8, 6)
+        cfg = BoomerAMGConfig(smooth_type=9, smooth_num_levels=1,
+                              smooth_num_sweeps=1, max_coarse_size=32)
+        pre = boomeramg_setup(A, cfg)
+        assert any("ILU(0)" in n or "Euclid" in n for n in pre.notes)
+        assert pre.levels[0].ilu_L is not None
+        assert pre.levels[1].ilu_L is None     # only smooth_num_levels
+        res = pcg_setup(A, pre.apply, tol=1e-10, maxiter=100)(b)
+        assert bool(res.converged)
+        assert int(res.iters) <= 20
+
+    def test_unsupported_smooth_type_noted(self, mesh8):
+        A, b = self._system(mesh8, 5)
+        cfg = BoomerAMGConfig(smooth_type=3, smooth_num_levels=2,
+                              max_coarse_size=32)
+        pre = boomeramg_setup(A, cfg)
+        assert any("unsupported" in n for n in pre.notes)

@@ -158,3 +158,43 @@ class TestHypreIJ:
     def test_missing_file_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             ij.read_matrix(str(tmp_path / "nope"), 2)
+
+
+class TestShardedIngestion:
+    """Per-host sharded reads (VERDICT r1 item 7): two simulated hosts with
+    disjoint row ranges must reconstruct the full system, and each must
+    retain only its slice (memory scales with 1/nhosts)."""
+
+    def test_two_host_union_reconstructs(self, rng, tmp_path):
+        n = 53
+        rows, cols, vals = _rand_coo(rng, n, n, 260)
+        offsets = row_decomposition(n, 4)
+        prefix = str(tmp_path / "mat")
+        ij.write_matrix(prefix, rows, cols, vals, offsets)
+        mid = n // 2
+        r1, c1, v1 = ij.read_matrix(prefix, 4, row_range=(0, mid - 1))
+        r2, c2, v2 = ij.read_matrix(prefix, 4, row_range=(mid, n - 1))
+        assert r1.size and r2.size
+        assert r1.max() < mid <= r2.min()
+        a = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).toarray()
+        b = sp.coo_matrix((np.concatenate([v1, v2]),
+                           (np.concatenate([r1, r2]),
+                            np.concatenate([c1, c2]))),
+                          shape=(n, n)).toarray()
+        np.testing.assert_allclose(a, b, rtol=1e-14)
+
+    def test_dense_vector_row_range(self, rng, tmp_path):
+        n = 31
+        vec = rng.standard_normal(n)
+        offsets = row_decomposition(n, 3)
+        prefix = str(tmp_path / "vec")
+        ij.write_vector(prefix, vec, offsets)
+        half = ij.read_dense_vector(prefix, 3, n, row_range=(10, 20))
+        np.testing.assert_allclose(half[10:21], vec[10:21])
+        assert np.all(half[:10] == 0) and np.all(half[21:] == 0)
+
+    def test_host_row_range_single_process_is_full(self, mesh8):
+        from tpusolve.mesh import host_row_range
+        offsets = row_decomposition(100, 8)
+        lo, hi = host_row_range(mesh8, offsets)
+        assert (lo, hi) == (0, 99)

@@ -96,3 +96,53 @@ class TestILUPreconditioner:
         b = to_device_vector(mesh8, np.ones(64), A.row_offsets, A.row_pad)
         res = gmres_setup(A, pre.apply, tol=1e-8, restart=20, maxiter=300)(b)
         assert bool(res.converged)
+
+
+class TestILUTCapAndReordering:
+    """ilu_max_nnz_per_row (true ILUT cap, ref :344-350) and
+    ilu_local_reordering (RCM, ref :351)."""
+
+    def _shard(self, mesh8, Ah):
+        Ac = Ah.tocoo()
+        return ShardedMatrix.from_coo(
+            mesh8, Ah.shape, Ac.row.astype(np.int64),
+            Ac.col.astype(np.int64), Ac.data)
+
+    def test_max_nnz_cap_enforced(self, mesh8):
+        from tpusolve.ilu.ilu import _cap_row_nnz
+        Ah = laplace_2d(10, 10)
+        cap = 3
+        M = _cap_row_nnz(Ah, cap)
+        assert int(np.diff(M.indptr).max()) <= cap
+        # kept entries are the largest-magnitude ones per row
+        r0 = np.abs(Ah[0].toarray().ravel())
+        kept = np.abs(M[0].toarray().ravel())
+        assert set(np.flatnonzero(kept)) <= set(
+            np.argsort(-r0)[:cap])
+
+    def test_ilut_cap_in_setup(self, mesh8):
+        Ah = laplace_2d(10, 10)
+        A = self._shard(mesh8, Ah)
+        pre = ilu_setup(A, ILUConfig(ilu_type=1, ilu_fill_level=2,
+                                     ilu_drop_threshold=0.0,
+                                     ilu_max_nnz_per_row=4), A_host=Ah)
+        Lh = pre.L.to_scipy().tocsr()
+        assert int(np.diff(Lh.indptr).max()) <= 4
+
+    def test_rcm_reordering_still_preconditions(self, mesh8, rng):
+        Ah = laplace_2d(12, 12)
+        # scramble the natural ordering so RCM has something to undo
+        p = rng.permutation(Ah.shape[0])
+        Ah = Ah[p][:, p].tocsr()
+        A = self._shard(mesh8, Ah)
+        x_true = rng.standard_normal(Ah.shape[0])
+        b = Ah @ x_true
+        bd = to_device_vector(mesh8, b, A.row_offsets, A.row_pad)
+        pre = ilu_setup(A, ILUConfig(ilu_local_reordering=1), A_host=Ah)
+        assert any("RCM" in n for n in pre.notes)
+        res = gmres_setup(A, pre.apply, tol=1e-8, restart=30, maxiter=600)(bd)
+        assert bool(res.converged)
+        plain = gmres_setup(A, tol=1e-8, restart=30, maxiter=600)(bd)
+        assert int(res.iters) < int(plain.iters)
+        x = from_device_vector(res.x, A.row_offsets, A.row_pad)
+        np.testing.assert_allclose(x, x_true, rtol=1e-5, atol=1e-6)

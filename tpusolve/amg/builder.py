@@ -60,6 +60,9 @@ class Level:
     dinv_l1: jax.Array | None        # 1 / l1 row norms (padded, sharded)
     dinv: jax.Array | None           # 1 / diag        (padded, sharded)
     cmask: jax.Array | None = None   # 1.0 at C-points (CF relax order)
+    ilu_L: ShardedMatrix | None = None   # complex (ILU) smoother factors
+    ilu_U: ShardedMatrix | None = None   # (smooth_type, ref :251-321)
+    ilu_dinv: jax.Array | None = None
     cheby_bounds: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True))
     n: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -128,11 +131,15 @@ class AMGPreconditioner:
 
 def _sharded_from_scipy(mesh, M: sp.spmatrix, dtype, row_offsets=None,
                         col_offsets=None) -> ShardedMatrix:
-    Mc = M.tocoo()
-    return ShardedMatrix.from_coo(
-        mesh, M.shape, Mc.row.astype(np.int64), Mc.col.astype(np.int64),
-        Mc.data, dtype=dtype, row_offsets=row_offsets,
+    return ShardedMatrix.from_csr_host(
+        mesh, M.tocsr(), dtype=dtype, row_offsets=row_offsets,
         col_offsets=col_offsets)
+
+
+# dense coarse solve guard: above this size the replicated (Npad_c^2) pinv
+# is substituted by coarse relaxation sweeps (memory ~ Npad_c^2 per device)
+DENSE_COARSE_MAX = 8192
+_COARSE_FALLBACK_SWEEPS = 10
 
 
 def _resolve_kinds(cfg: BoomerAMGConfig):
@@ -145,7 +152,10 @@ def _resolve_kinds(cfg: BoomerAMGConfig):
         cfg.relax_up if cfg.relax_up is not None else cfg.relax_type)
     if note and note not in notes:
         notes.append(note)
-    return kind_down, kind_up, notes
+    kind_coarse, note = smoothers.resolve_coarse_relax(cfg.relax_coarse)
+    if note and note not in notes:
+        notes.append(note)
+    return kind_down, kind_up, kind_coarse, notes
 
 
 def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
@@ -159,7 +169,7 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
     cfg = config or BoomerAMGConfig()
     mesh = A.mesh
     dtype = A.dtype
-    kind_down, kind_up, notes = _resolve_kinds(cfg)
+    kind_down, kind_up, kind_coarse, notes = _resolve_kinds(cfg)
 
     Ah = (A_host if A_host is not None else A.to_scipy()).tocsr()
     Ah.sum_duplicates()
@@ -174,10 +184,19 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
         if n <= max_coarse or lvl == cfg.max_levels - 1:
             break
         S = strength_mod.classical_strength(Ah, cfg.strong_threshold)
-        split, note = coarsen_mod.coarsen(S, cfg.coarsen_type,
-                                          seed=seed + lvl)
-        if note and note not in notes:
-            notes.append(note)
+        aggressive = lvl < cfg.agg_num_levels
+        if aggressive:
+            # agg_num_levels finest levels coarsen aggressively
+            # (ref: src/HypreSystem.cpp:207-213)
+            split = coarsen_mod.aggressive_pmis(S, seed=seed + lvl)
+            note = "aggressive (two-pass PMIS) coarsening"
+            if note not in notes:
+                notes.append(note)
+        else:
+            split, note = coarsen_mod.coarsen(S, cfg.coarsen_type,
+                                              seed=seed + lvl)
+            if note and note not in notes:
+                notes.append(note)
         nc = int((split == coarsen_mod.C_PT).sum())
         if nc == 0 or nc >= n:
             break  # coarsening stalled: stop here, direct-solve this level
@@ -187,7 +206,10 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
             # src/HypreSystem.cpp:216-219)
             break
         P_host, note = interp_mod.build_interpolation(
-            Ah, S, split, cfg.interp_type, cfg.trunc_factor, cfg.p_max_elmts)
+            Ah, S, split,
+            cfg.agg_interp_type if aggressive else cfg.interp_type,
+            cfg.trunc_factor, cfg.p_max_elmts,
+            require_distance2=aggressive)
         if note and note not in notes:
             notes.append(note)
         Ac = galerkin.rap(Ah, P_host)
@@ -199,6 +221,8 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
             Ac = galerkin.nongalerkin_sparsify(Ac, ng_tol)
 
         lev = _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg)
+        if lvl < cfg.smooth_num_levels and cfg.smooth_type is not None:
+            _attach_ilu_smoother(lev, mesh, A_sh, Ah, dtype, cfg, notes)
         if cfg.relax_order == 1:
             from tpusolve.matrix.vectors import to_device_vector
             lev.cmask = to_device_vector(
@@ -217,21 +241,78 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
         Ah = Ac
         A_sh = _sharded_from_scipy(mesh, Ah, dtype)
 
-    # coarsest level: dense (pseudo)inverse in padded layout
-    lev = _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg)
+    # coarsest level: dense (pseudo)inverse or relaxation sweeps
+    kind_coarse, coarse_sweeps = _guard_coarse(kind_coarse, Ah.shape[0],
+                                               cfg, notes)
+    lev = _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg,
+                      kind_coarse=kind_coarse)
     levels.append(lev)
-    coarse_inv = _padded_pinv(mesh, Ah, A_sh, dtype)
+    coarse_inv = _coarse_solver_data(mesh, Ah, A_sh, dtype, kind_coarse)
 
     pre = AMGPreconditioner(levels=levels, coarse_inv=coarse_inv, config=cfg,
                             notes=notes, num_levels=len(levels))
-    pre._cycle_fn = _build_cycle(pre, kind_down, kind_up, cfg)
+    pre._cycle_fn = _build_cycle(pre, kind_down, kind_up, cfg,
+                                 kind_coarse=kind_coarse,
+                                 coarse_sweeps=coarse_sweeps)
     return pre
 
 
-def _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg) -> Level:
+def _attach_ilu_smoother(lev: Level, mesh, A_sh, Ah, dtype, cfg, notes):
+    """Complex-smoother block: ILU(0) factors attached to a fine level
+    (``smooth_type``/``smooth_num_levels``/``smooth_num_sweeps``, ref:
+    src/HypreSystem.cpp:237-321).  HYPRE's codes 5 (ParILUK), 7 (Pilut),
+    9 (Euclid) are all ILU-family; 6 (Schwarz) is substituted."""
+    from tpusolve.ilu.ilu import chow_patel_ilu
+    from tpusolve.matrix.vectors import to_device_vector
+    st = cfg.smooth_type
+    if st not in (5, 6, 7, 9):
+        note = f"smooth_type {st} unsupported: levels use relax_type instead"
+        if note not in notes:
+            notes.append(note)
+        return
+    note = {5: "smooth_type 5 (ParILUK) as Chow-Patel ILU(0) + Jacobi trisolve",
+            7: "smooth_type 7 (Pilut) as Chow-Patel ILU(0) + Jacobi trisolve",
+            9: "smooth_type 9 (Euclid) as Chow-Patel ILU(0) + Jacobi trisolve",
+            6: "smooth_type 6 (Schwarz) mapped to ILU(0) smoothing"}[st]
+    if note not in notes:
+        notes.append(note)
+    L_host, ujj, U_host = chow_patel_ilu(Ah.tocsr(), sweeps=5, fill_level=0)
     ro = np.asarray(A_sh.row_offsets)
-    need_l1 = smoothers.RELAX_L1_JACOBI in (kind_down, kind_up)
-    need_cheby = smoothers.RELAX_CHEBYSHEV in (kind_down, kind_up)
+    lev.ilu_L = ShardedMatrix.from_csr_host(
+        mesh, L_host, dtype=dtype, row_offsets=ro, col_offsets=ro)
+    lev.ilu_U = ShardedMatrix.from_csr_host(
+        mesh, U_host, dtype=dtype, row_offsets=ro, col_offsets=ro)
+    lev.ilu_dinv = to_device_vector(mesh, 1.0 / ujj, ro, A_sh.row_pad,
+                                    dtype=dtype)
+
+
+def _guard_coarse(kind_coarse, n_c: int, cfg, notes: list):
+    """Dense-solve guard + coarse sweep count resolution."""
+    ncs = (cfg.num_coarse_sweeps if cfg.num_coarse_sweeps is not None
+           else cfg.num_sweeps)
+    if kind_coarse == smoothers.RELAX_DIRECT and n_c > DENSE_COARSE_MAX:
+        notes.append(
+            f"coarse level has {n_c} rows > {DENSE_COARSE_MAX}: dense "
+            "inverse replaced by l1-Jacobi sweeps (raise max_coarse_size "
+            "guardedly or set relax_coarse)")
+        return smoothers.RELAX_L1_JACOBI, max(ncs, _COARSE_FALLBACK_SWEEPS)
+    return kind_coarse, ncs
+
+
+def _coarse_solver_data(mesh, Ah, A_sh, dtype, kind_coarse):
+    if kind_coarse == smoothers.RELAX_DIRECT:
+        return _padded_pinv(mesh, Ah, A_sh, dtype)
+    # relaxation-based coarse solve: a (1,1) placeholder keeps the cycle
+    # state pytree shape stable
+    return replicated(mesh, np.zeros((1, 1), dtype))
+
+
+def _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg,
+                kind_coarse=None) -> Level:
+    ro = np.asarray(A_sh.row_offsets)
+    kinds = (kind_down, kind_up, kind_coarse)
+    need_l1 = smoothers.RELAX_L1_JACOBI in kinds
+    need_cheby = smoothers.RELAX_CHEBYSHEV in kinds
     dinv_l1 = None
     cheby_bounds = None
     d = Ah.diagonal()
@@ -263,10 +344,15 @@ def _padded_pinv(mesh, Ah, A_sh, dtype) -> jax.Array:
 
 
 def _build_cycle(pre: AMGPreconditioner, kind_down, kind_up,
-                 cfg: BoomerAMGConfig):
+                 cfg: BoomerAMGConfig,
+                 kind_coarse=smoothers.RELAX_DIRECT, coarse_sweeps=None):
     """Build cycle_fn(state, r) with state = (levels_tuple, coarse_inv)
     passed at call time (hierarchy as runtime buffers)."""
     L = len(pre.levels)
+    if coarse_sweeps is None:
+        coarse_sweeps = (cfg.num_coarse_sweeps
+                         if cfg.num_coarse_sweeps is not None
+                         else cfg.num_sweeps)
     nu_down = cfg.num_down_sweeps if cfg.num_down_sweeps is not None else cfg.num_sweeps
     nu_up = cfg.num_up_sweeps if cfg.num_up_sweeps is not None else cfg.num_sweeps
     gamma = 2 if cfg.cycle_type == 2 else 1
@@ -277,6 +363,16 @@ def _build_cycle(pre: AMGPreconditioner, kind_down, kind_up,
     def smooth(lev: Level, b, x, kind, ns):
         if ns <= 0:
             return x
+        if lev.ilu_L is not None:
+            # complex (ILU) smoother replaces relaxation on this level
+            from jax import lax
+            from tpusolve.ilu.ilu import ilu_apply
+
+            def body(_, x):
+                r = b - spmv(lev.A, x)
+                return x + ilu_apply(lev.ilu_L, lev.ilu_U, lev.ilu_dinv,
+                                     r, 5, 5)
+            return lax.fori_loop(0, cfg.smooth_num_sweeps, body, x)
         use_cf = cf_order and lev.cmask is not None
         if kind == smoothers.RELAX_L1_JACOBI:
             if use_cf:
@@ -302,6 +398,10 @@ def _build_cycle(pre: AMGPreconditioner, kind_down, kind_up,
         def cycle(l: int, b, x):
             lev = levels[l]
             if l == L - 1:
+                if kind_coarse != smoothers.RELAX_DIRECT:
+                    # coarse-level relaxation (relax_coarse /
+                    # num_coarse_sweeps, ref: src/HypreSystem.cpp:129-151)
+                    return smooth(lev, b, x, kind_coarse, coarse_sweeps)
                 rr = b - spmv(lev.A, x)
                 return x + coarse_inv @ rr
             x = smooth(lev, b, x, kind_down, nu_down)

@@ -86,6 +86,34 @@ def _neighbor_max(G: sp.csr_matrix, w: np.ndarray) -> np.ndarray:
     return out
 
 
+def aggressive_pmis(S: sp.csr_matrix, seed: int = 1234) -> np.ndarray:
+    """Two-pass aggressive coarsening (``agg_num_levels`` levels use this;
+    ref: src/HypreSystem.cpp:207-213).  BoomerAMG's A2 scheme: a standard
+    PMIS pass, then a second PMIS over the *distance-2 strength graph
+    restricted to first-pass C-points* — only the survivors stay C.  Final
+    C-points are distance <= 2 from every F-point, so interpolation must be
+    distance-2 capable (multipass / extended)."""
+    n = S.shape[0]
+    split1 = pmis(S, seed=seed)
+    C1 = np.flatnonzero(split1 == C_PT)
+    if C1.size <= 1:
+        return split1
+    Sb = S.tocsr().astype(bool)
+    S2 = ((Sb @ Sb) + Sb).tocsr()          # strength within distance 2
+    S2 = S2[C1][:, C1].tocsr()
+    S2.setdiag(False)
+    S2.eliminate_zeros()
+    sub = pmis(S2.astype(np.float64), seed=seed + 1)
+    # a first-pass C-point isolated in the restricted graph (no other
+    # C1 within distance 2) must stay C: demoting it would strand its
+    # F-children with no coarse anchor at any distance
+    isolated = np.diff(S2.indptr) == 0
+    sub[isolated] = C_PT
+    split = np.full(n, F_PT, np.int64)
+    split[C1[sub == C_PT]] = C_PT
+    return split
+
+
 COARSEN_MAP = {
     0: "pmis", 3: "pmis", 6: "pmis", 7: "pmis", 8: "pmis", 10: "pmis",
     21: "pmis", 22: "pmis",

@@ -171,50 +171,126 @@ def truncate(P: sp.csr_matrix, trunc_factor: float = 0.0,
     rescaling (knobs ref: src/HypreSystem.cpp:195-205)."""
     if trunc_factor <= 0.0 and p_max_elmts <= 0:
         return P
+    # fully vectorized (no per-row Python): reduceat row maxima/sums +
+    # lexsort within-row magnitude ranks — O(nnz log nnz), scale-safe
     P = P.tocsr()
     n = P.shape[0]
     indptr, indices, data = P.indptr, P.indices, P.data
-    new_rows, new_cols, new_vals = [], [], []
-    for i in range(n):
-        s, e = indptr[i], indptr[i + 1]
-        if s == e:
-            continue
-        v = data[s:e]
-        c = indices[s:e]
-        keep = np.ones(v.size, bool)
-        if trunc_factor > 0:
-            keep &= np.abs(v) >= trunc_factor * np.abs(v).max()
-        if 0 < p_max_elmts < keep.sum():
-            order = np.argsort(-np.abs(v))
-            rank = np.empty_like(order)
-            rank[order] = np.arange(v.size)
-            keep &= rank < p_max_elmts
-        if keep.all():
-            sel_v = v
-        else:
-            old_sum = v.sum()
-            sel_v = v[keep]
-            new_sum = sel_v.sum()
-            if new_sum != 0:
-                sel_v = sel_v * (old_sum / new_sum)
-        new_rows.append(np.full(int(keep.sum()), i))
-        new_cols.append(c[keep])
-        new_vals.append(sel_v)
-    if not new_rows:
-        return sp.csr_matrix(P.shape)
-    return sp.csr_matrix(
-        (np.concatenate(new_vals),
-         (np.concatenate(new_rows), np.concatenate(new_cols))), shape=P.shape)
+    counts = np.diff(indptr)
+    rows = np.repeat(np.arange(n), counts)
+    absv = np.abs(data)
+    nonempty = counts > 0
+    starts = indptr[:-1]
+    row_max = np.zeros(n)
+    if nonempty.any():
+        row_max[nonempty] = np.maximum.reduceat(absv, starts[nonempty])
+    keep = np.ones(data.size, bool)
+    if trunc_factor > 0:
+        keep &= absv >= trunc_factor * row_max[rows]
+    if p_max_elmts > 0 and data.size:
+        order = np.lexsort((-absv, rows))       # by row, |v| descending
+        rank = np.empty(data.size, np.int64)
+        rank[order] = np.arange(data.size) - np.repeat(starts, counts)
+        keep &= rank < p_max_elmts
+    # row-sum-preserving rescale of the kept entries
+    kept_data = np.where(keep, data, 0.0)
+    old_sum = np.zeros(n)
+    new_sum = np.zeros(n)
+    if nonempty.any():
+        old_sum[nonempty] = np.add.reduceat(data, starts[nonempty])
+        new_sum[nonempty] = np.add.reduceat(kept_data, starts[nonempty])
+    scale = np.where(new_sum != 0, old_sum / np.where(new_sum == 0, 1.0,
+                                                      new_sum), 1.0)
+    out = sp.csr_matrix((kept_data * scale[rows], indices.copy(),
+                         indptr.copy()), shape=P.shape)
+    out.eliminate_zeros()
+    return out
+
+
+def multipass_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
+                            splitting: np.ndarray) -> sp.csr_matrix:
+    """Multipass interpolation (interp/agg_interp type 4; Stueben).
+
+    Distance-2 capable — required after aggressive coarsening, where
+    F-points may have no strong C neighbor at distance 1.  Pass 1 is direct
+    interpolation on the F-points that do have strong C neighbors; each
+    later pass interpolates the remaining F-points *through* their already-
+    assigned strong neighbors:
+
+        P_i = sigma_i * sum_{k in K_i} a_ik P_k
+        sigma_i = -(sum_{j != i} a_ij) / (a_ii * sum_{k in K_i} a_ik)
+
+    which preserves interpolation of constants when A has zero row sums.
+    All passes are sparse products — no per-row Python.
+    """
+    A = A.tocsr()
+    n = A.shape[0]
+    is_C = splitting == C_PT
+    cmap = _coarse_numbering(splitting)
+    nc = int(is_C.sum())
+    if nc == 0:
+        return sp.csr_matrix((n, 0))
+
+    diag = A.diagonal()
+    diag = np.where(diag != 0, diag, 1.0)
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    cols = A.indices
+    vals = A.data
+    offd = cols != rows
+    strong = _pattern_mask(A, S) & offd
+    # strong-connection operator (rows = all, cols = all)
+    A_s = sp.csr_matrix((np.where(strong, vals, 0.0), cols.copy(),
+                         A.indptr.copy()), shape=A.shape)
+    A_s.eliminate_zeros()
+    rowsum_offd = _rowsum(n, rows, vals, offd)
+
+    # pass 1: direct interpolation for F-points with a strong C neighbor
+    P = direct_interpolation(A, S, splitting).tolil(copy=False).tocsr()
+    has_sC = np.asarray(
+        (A_s @ sp.diags(is_C.astype(float))).getnnz(axis=1)) > 0
+    assigned = is_C | (~is_C & has_sC)
+
+    for _ in range(10):
+        todo = ~assigned
+        if not todo.any():
+            break
+        # ready: unassigned F with at least one assigned strong neighbor
+        asn = sp.diags(assigned.astype(float))
+        W = (A_s @ asn).tocsr()
+        W.eliminate_zeros()
+        ready = todo & (np.diff(W.indptr) > 0)
+        if not ready.any():
+            break
+        sumK = np.asarray(W.sum(axis=1)).ravel()
+        denom = diag * np.where(sumK != 0, sumK, 1.0)
+        sigma = np.where(ready & (sumK != 0), -rowsum_offd / denom, 0.0)
+        P_new = (sp.diags(sigma) @ W) @ P
+        mask = sp.diags(ready.astype(float))
+        P = P + (mask @ P_new)
+        assigned |= ready
+    P = P.tocsr()
+    P.eliminate_zeros()
+    return P
 
 
 def build_interpolation(A, S, splitting, interp_type: int = 0,
-                        trunc_factor: float = 0.0, p_max_elmts: int = 0):
-    """Dispatch on interp_type -> (P, note)."""
+                        trunc_factor: float = 0.0, p_max_elmts: int = 0,
+                        require_distance2: bool = False):
+    """Dispatch on interp_type -> (P, note).
+
+    ``require_distance2`` is set by the builder on aggressively-coarsened
+    levels (ref agg_interp_type, src/HypreSystem.cpp:207-213), where
+    F-points may sit at distance 2 from every C-point: any distance-1
+    family would leave them uninterpolated, so multipass is enforced."""
     note = None
-    if interp_type in (3, 4):
+    if require_distance2 and interp_type != 4:
+        note = (f"aggressive level: interp_type {interp_type} replaced by "
+                "multipass (distance-2 required)")
+        interp_type = 4
+    if interp_type == 4:
+        P = multipass_interpolation(A, S, splitting)
+    elif interp_type == 3:
         P = direct_interpolation(A, S, splitting)
-        if interp_type == 4:
-            note = "interp_type 4 (multipass) mapped to direct"
     elif interp_type in (0, 6, 7, 8, 12, 13, 14, 16, 17, 18):
         P = classical_interpolation(A, S, splitting)
         if interp_type != 0:

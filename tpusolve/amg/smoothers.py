@@ -104,6 +104,7 @@ def chebyshev_sweeps(A, dinv, b, x, coeffs_lower_upper, order: int):
 RELAX_L1_JACOBI = "l1_jacobi"
 RELAX_JACOBI = "jacobi"
 RELAX_CHEBYSHEV = "chebyshev"
+RELAX_DIRECT = "direct"          # coarsest level only: dense (pseudo)inverse
 
 RELAX_MAP = {
     0: (RELAX_JACOBI, None),
@@ -125,3 +126,13 @@ def resolve_relax(relax_type: int):
     if relax_type not in RELAX_MAP:
         raise ValueError(f"unsupported relax_type {relax_type}")
     return RELAX_MAP[relax_type]
+
+
+def resolve_coarse_relax(relax_coarse):
+    """``relax_coarse`` code -> coarsest-level treatment.  HYPRE defaults to
+    9 (Gaussian elimination, ref: src/HypreSystem.cpp:129-151); codes 9/19/
+    98/99 are GE variants -> dense inverse here; anything else is relaxation
+    sweeps via the standard map."""
+    if relax_coarse is None or relax_coarse in (9, 19, 98, 99):
+        return RELAX_DIRECT, None
+    return resolve_relax(relax_coarse)

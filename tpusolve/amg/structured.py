@@ -39,7 +39,7 @@ from tpusolve.amg import smoothers
 from tpusolve.amg import galerkin
 from tpusolve.amg.builder import (
     Level, AMGPreconditioner, _make_level, _padded_pinv, _build_cycle,
-    _resolve_kinds)
+    _resolve_kinds, _guard_coarse, _coarse_solver_data)
 
 
 # ----------------------------------------------------------------------
@@ -154,7 +154,7 @@ def structured_mg_setup(A: ShardedMatrix,
     nparts = A.nparts
     notes = ["structured (PFMG-style) geometric hierarchy"]
 
-    kind_down, kind_up, knotes = _resolve_kinds(cfg)
+    kind_down, kind_up, kind_coarse, knotes = _resolve_kinds(cfg)
     notes += knotes
 
     Ah = (A_host if A_host is not None else A.to_scipy()).tocsr()
@@ -194,13 +194,18 @@ def structured_mg_setup(A: ShardedMatrix,
         Ah = Ac
         box = coarse_box
 
-    lev = _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg)
+    kind_coarse, coarse_sweeps = _guard_coarse(kind_coarse, Ah.shape[0],
+                                               cfg, notes)
+    lev = _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg,
+                      kind_coarse=kind_coarse)
     levels.append(lev)
-    coarse_inv = _padded_pinv(mesh, Ah, A_sh, dtype)
+    coarse_inv = _coarse_solver_data(mesh, Ah, A_sh, dtype, kind_coarse)
 
     pre = AMGPreconditioner(levels=levels, coarse_inv=coarse_inv, config=cfg,
                             notes=notes, num_levels=len(levels))
-    pre._cycle_fn = _build_cycle(pre, kind_down, kind_up, cfg)
+    pre._cycle_fn = _build_cycle(pre, kind_down, kind_up, cfg,
+                                 kind_coarse=kind_coarse,
+                                 coarse_sweeps=coarse_sweeps)
     return pre
 
 
@@ -274,7 +279,7 @@ def _coarse_offd(offd_parts, box_f, nparts):
 
 
 def _make_level_structured(mesh, A_sh, dia, offd_parts, box, dtype,
-                           kind_down, kind_up, cfg) -> Level:
+                           kind_down, kind_up, cfg, kind_coarse=None) -> Level:
     """Smoother data straight from the DIA/offd payload (no CSR)."""
     from tpusolve.matrix.vectors import to_device_vector
     nparts = A_sh.nparts
@@ -284,8 +289,9 @@ def _make_level_structured(mesh, A_sh, dia, offd_parts, box, dtype,
     d0 = np.where(d0 != 0, d0, 1.0)
     l1_box = sum(np.abs(v) for v in dia.values()).reshape(-1)
 
-    need_l1 = smoothers.RELAX_L1_JACOBI in (kind_down, kind_up)
-    need_cheby = smoothers.RELAX_CHEBYSHEV in (kind_down, kind_up)
+    kinds = (kind_down, kind_up, kind_coarse)
+    need_l1 = smoothers.RELAX_L1_JACOBI in kinds
+    need_cheby = smoothers.RELAX_CHEBYSHEV in kinds
 
     ro = np.asarray(A_sh.row_offsets)
     dinv_g = np.tile(1.0 / d0, nparts)
@@ -328,7 +334,7 @@ def structured_mg_setup_fast(A: ShardedMatrix, config=None, *,
     nparts = A.nparts
     notes = ["structured (PFMG-style) geometric hierarchy",
              "setup: DIA-algebra Galerkin RAP"]
-    kind_down, kind_up, knotes = _resolve_kinds(cfg)
+    kind_down, kind_up, kind_coarse, knotes = _resolve_kinds(cfg)
     notes += knotes
 
     dia, offd_parts = host_parts
@@ -360,13 +366,22 @@ def structured_mg_setup_fast(A: ShardedMatrix, config=None, *,
                                  dia_shape=coarse_box)
         dia, offd_parts, box = dia_c, offd_c, coarse_box
 
+    n_c = int(np.prod(box)) * nparts
+    kind_coarse, coarse_sweeps = _guard_coarse(kind_coarse, n_c, cfg, notes)
     lev = _make_level_structured(mesh, A_sh, dia, offd_parts, box, dtype,
-                                 kind_down, kind_up, cfg)
+                                 kind_down, kind_up, cfg,
+                                 kind_coarse=kind_coarse)
     levels.append(lev)
-    Ah_c = _structured_to_csr(dia, box, offd_parts, nparts)
-    coarse_inv = _padded_pinv(mesh, Ah_c, A_sh, dtype)
+    if kind_coarse == smoothers.RELAX_DIRECT:
+        Ah_c = _structured_to_csr(dia, box, offd_parts, nparts)
+        coarse_inv = _padded_pinv(mesh, Ah_c, A_sh, dtype)
+    else:
+        from tpusolve.matrix.vectors import replicated
+        coarse_inv = replicated(mesh, np.zeros((1, 1), dtype))
 
     pre = AMGPreconditioner(levels=levels, coarse_inv=coarse_inv, config=cfg,
                             notes=notes, num_levels=len(levels))
-    pre._cycle_fn = _build_cycle(pre, kind_down, kind_up, cfg)
+    pre._cycle_fn = _build_cycle(pre, kind_down, kind_up, cfg,
+                                 kind_coarse=kind_coarse,
+                                 coarse_sweeps=coarse_sweeps)
     return pre

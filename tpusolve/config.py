@@ -78,8 +78,10 @@ class SolverConfig:
     csv_profile_file: str | None = None
     # kernel-implementation selection, the TPU analog of the reference's
     # vendor-kernel toggles (ref: src/main.cpp:127-156): allow the DIA
-    # fast layout at assembly (else padded-ELL everywhere)
+    # fast layout at assembly, and the block-ELL (BELL) unstructured fast
+    # path (else padded-ELL gather everywhere)
     spmv_use_dia: bool = True
+    spmv_use_bell: bool = True
     # precision policy: "double" matches the reference's f64; "single" is the
     # TPU-native default path with f32 + compensated reductions
     precision: str = "double"

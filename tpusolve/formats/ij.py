@@ -179,9 +179,11 @@ def read_vector(prefix: str, nfiles: int, row_range: tuple[int, int] | None = No
     return np.concatenate(all_i), np.concatenate(all_v)
 
 
-def read_dense_vector(prefix: str, nfiles: int, n: int | None = None):
-    """Read a vector into a dense array indexed by global row."""
-    idx, vals = read_vector(prefix, nfiles)
+def read_dense_vector(prefix: str, nfiles: int, n: int | None = None,
+                      row_range: tuple[int, int] | None = None):
+    """Read a vector into a dense array indexed by global row (zeros
+    outside ``row_range`` when sharded reading is in effect)."""
+    idx, vals = read_vector(prefix, nfiles, row_range=row_range)
     if n is None:
         n = int(idx.max()) + 1 if idx.size else 0
     out = np.zeros(n, np.float64)

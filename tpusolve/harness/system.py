@@ -129,9 +129,11 @@ class LinearSystem:
                               f"iUpper = {hi:9d}; numRows = {hi - lo + 1}")
         with self.timers.span("Assemble system"):
             allow_dia = self.config.solver.spmv_use_dia
+            allow_bell = self.config.solver.spmv_use_bell
             self.A = ShardedMatrix.from_coo(
                 self.mesh, (n, n), rows, cols, vals, dtype=self.dtype,
-                row_offsets=offsets, allow_dia=allow_dia)
+                row_offsets=offsets, allow_dia=allow_dia,
+                allow_bell=allow_bell)
             if self.precision == "mixed":
                 # f32 twin by device-side cast — not a second assembly
                 self.A_lo = self.A.astype(np.float32)
@@ -139,6 +141,13 @@ class LinearSystem:
                 self.A_host = sp.csr_matrix(
                     (vals, (rows, cols)), shape=(n, n))
                 self.A_host.sum_duplicates()
+
+    def _host_range(self, n: int) -> tuple[int, int]:
+        """Inclusive row range this host must stage (all rows when single
+        process)."""
+        from tpusolve.mesh import host_row_range
+        offsets = row_decomposition(n, self.mesh.devices.size)
+        return host_row_range(self.mesh, offsets)
 
     def _needs_host_csr(self) -> bool:
         """Keep a host CSR only for consumers that factor on the host
@@ -168,6 +177,13 @@ class LinearSystem:
             elif np.iscomplexobj(vals):
                 raise RuntimeError(
                     "complex matrix file requires complex_numbers: true")
+            # per-host sharded staging: keep only rows this host's devices
+            # own (the reference's per-rank overlap filter,
+            # src/HypreSystem.cpp:1751-1835 keeps [iLower_, iUpper_])
+            lo, hi = self._host_range(n)
+            keep = (rows >= lo) & (rows <= hi)
+            if not keep.all():
+                rows, cols, vals = rows[keep], cols[keep], vals[keep]
         self._assemble(rows, cols, np.real(vals), n)
         with self.timers.span("Matrix market : read and build vector"):
             for rf in ls.rhs_files:
@@ -192,14 +208,20 @@ class LinearSystem:
         self._log(f"Loading HYPRE IJ files: {ls.matrix_file} x{nfiles} "
                   f"({n} rows)")
         with self.timers.span("IJ : read and build matrix"):
-            rows, cols, vals = ij.read_matrix(ls.matrix_file, nfiles)
+            # sharded read: each host parses only files overlapping its
+            # devices' row blocks (ref strided/overlap reads,
+            # src/HypreSystem.cpp:1147, 1203-1236)
+            rr = self._host_range(n)
+            rows, cols, vals = ij.read_matrix(ls.matrix_file, nfiles,
+                                              row_range=rr)
         self._assemble(rows, cols, vals, n)
         with self.timers.span("IJ : read and build vector"):
             for rf in ls.rhs_files:
                 self.rhs.append(self._stage_vector(
-                    ij.read_dense_vector(rf, nfiles, n)))
+                    ij.read_dense_vector(rf, nfiles, n, row_range=rr)))
             for sf in ls.sln_files:
-                self.sln_ref.append(ij.read_dense_vector(sf, nfiles, n))
+                self.sln_ref.append(ij.read_dense_vector(sf, nfiles, n,
+                                                         row_range=rr))
         self.check_enabled = bool(self.sln_ref) and \
             len(self.sln_ref) == len(self.rhs)
 

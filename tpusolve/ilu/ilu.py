@@ -130,6 +130,49 @@ def _drop_small(M: sp.csr_matrix, tol: float) -> sp.csr_matrix:
     return M
 
 
+def _cap_row_nnz(M: sp.csr_matrix, max_nnz: int) -> sp.csr_matrix:
+    """ILUT row cap: keep only the ``max_nnz`` largest-magnitude entries per
+    row (``ilu_max_nnz_per_row``, ref: src/HypreSystem.cpp:344-350).
+    Vectorized: within-row magnitude ranks via one lexsort."""
+    if max_nnz <= 0:
+        return M
+    M = M.tocsr()
+    counts = np.diff(M.indptr)
+    if not (counts > max_nnz).any():
+        return M
+    n = M.shape[0]
+    rows = np.repeat(np.arange(n), counts)
+    absv = np.abs(M.data)
+    order = np.lexsort((-absv, rows))
+    rank = np.empty(M.data.size, np.int64)
+    rank[order] = np.arange(M.data.size) - np.repeat(M.indptr[:-1], counts)
+    out = M.copy()
+    out.data[rank >= max_nnz] = 0.0
+    out.eliminate_zeros()
+    return out
+
+
+def _rcm_permutation(A: sp.csr_matrix) -> np.ndarray:
+    """Reverse Cuthill-McKee on the symmetrized pattern
+    (``ilu_local_reordering: 1``, ref: src/HypreSystem.cpp:351)."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    return np.asarray(reverse_cuthill_mckee(A.tocsr(), symmetric_mode=False),
+                      np.int64)
+
+
+def ilu_apply(L, U, dinv, r, lower_iters: int, upper_iters: int):
+    """z ~= (D+U)^-1 (I+L)^-1 r via Jacobi trisolve iterations (the
+    reference's ilu_tri_solve: 0 path, src/HypreSystem.cpp:363-365).
+    Jittable; L/U/dinv ride as runtime arguments."""
+    def lbody(_, z):
+        return r - spmv(L, z)
+    z = lax.fori_loop(0, lower_iters, lbody, r)
+
+    def ubody(_, x):
+        return dinv * (z - spmv(U, x))
+    return lax.fori_loop(0, upper_iters, ubody, dinv * z)
+
+
 @dataclass
 class ILUPreconditioner:
     L: ShardedMatrix          # strict lower
@@ -171,15 +214,39 @@ def ilu_setup(A: ShardedMatrix, config: ILUConfig | None = None, *,
     fill = cfg.ilu_fill_level
     if cfg.ilu_type == 1:
         notes.append("ilu_type 1 (ILUT) approximated by ILU(k) + "
-                     f"drop at {cfg.ilu_drop_threshold}")
+                     f"drop at {cfg.ilu_drop_threshold} capped at "
+                     f"{cfg.ilu_max_nnz_per_row} nnz/row")
     elif cfg.ilu_type not in (0, 1):
         notes.append(f"ilu_type {cfg.ilu_type} mapped to ILU(k) block-Jacobi")
 
+    perm = None
+    if cfg.ilu_local_reordering:
+        # factor P A P^T (RCM-ordered: better incomplete-factor quality),
+        # then un-permute the factors by similarity — the permuted factors
+        # stay nilpotent, so the Jacobi trisolves apply unchanged and no
+        # device-side permutation gather is ever needed
+        perm = _rcm_permutation(Ah)
+        notes.append("ilu_local_reordering: RCM")
+        Ah_f = Ah[perm][:, perm].tocsr()
+    else:
+        Ah_f = Ah
+
     sweeps = max(cfg.ilu_iterative_setup_max_iter, 1) * 5
-    L_host, ujj, U_host = chow_patel_ilu(Ah, sweeps=sweeps, fill_level=fill)
+    L_host, ujj, U_host = chow_patel_ilu(Ah_f, sweeps=sweeps,
+                                         fill_level=fill)
     if cfg.ilu_type == 1:
         L_host = _drop_small(L_host, cfg.ilu_drop_threshold)
         U_host = _drop_small(U_host, cfg.ilu_drop_threshold)
+        L_host = _cap_row_nnz(L_host, cfg.ilu_max_nnz_per_row)
+        U_host = _cap_row_nnz(U_host, cfg.ilu_max_nnz_per_row)
+
+    if perm is not None:
+        # similarity back to original ordering: M_orig = P^T M_perm P
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(perm.size)
+        L_host = L_host[iperm][:, iperm].tocsr()
+        U_host = U_host[iperm][:, iperm].tocsr()
+        ujj = ujj[iperm]
 
     ro = np.asarray(A.row_offsets)
     Lc = L_host.tocoo()
@@ -199,15 +266,7 @@ def ilu_setup(A: ShardedMatrix, config: ILUConfig | None = None, *,
 
     def apply_fn(state, r):
         L, U, dinv = state
-        # solve (I + L) z = r:  z <- r - L z
-        def lbody(_, z):
-            return r - spmv(L, z)
-        z = lax.fori_loop(0, nl, lbody, r)
-        # solve (D + U) x = z:  x <- Dinv (z - U x)
-        def ubody(_, x):
-            return dinv * (z - spmv(U, x))
-        x = lax.fori_loop(0, nu, ubody, dinv * z)
-        return x
+        return ilu_apply(L, U, dinv, r, nl, nu)
 
     pre._apply_fn = apply_fn
     applyj = jax.jit(apply_fn)

@@ -54,6 +54,12 @@ DIA_MAX_OFFSETS = 96
 # ...and the dense-diagonal storage is at least this full of real entries
 DIA_MIN_FILL = 0.2
 
+# BELL (block-ELL tiles, kernels/bell.py) replaces the ELL gather fallback
+# when the diag block is big enough for the ~9 ns/element XLA gather to hurt
+# and the dense-tile expansion stays within a sane memory budget per shard.
+BELL_MIN_NNZ = 20_000
+BELL_MAX_BYTES = 4 << 30
+
 
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -63,9 +69,11 @@ def _ceil_to(x: int, m: int) -> int:
 @dataclass(frozen=True)
 class ShardedMatrix:
     # --- device data (leading axis = shard) ---
-    diag_vals: jax.Array   # (Pn, R, Kd) float ELL values (minimal if DIA)
+    diag_vals: jax.Array   # (Pn, R, Kd) float ELL values (minimal if DIA/BELL)
     diag_cols: jax.Array   # (Pn, R, Kd) int32, local col index
     dia_vals: jax.Array | None  # (Pn, D, R) or (Pn, D, *dia_shape)
+    bell_vals: jax.Array | None  # (Pn, G, K, 8, 128) dense tiles
+    bell_ids: jax.Array | None   # (Pn, G, K) int32 column-window ids
     offd_vals: jax.Array   # (Pn, R, Ko) float
     offd_cols: jax.Array   # (Pn, R, Ko) int32, ghost slot index
     send_idx: jax.Array    # (Pn, Pn, S) int32, local x-indices sent to peer q
@@ -83,6 +91,7 @@ class ShardedMatrix:
     # lands only on zero coefficients.  Enables the lane-aligned static-slice
     # SpMV (~speed-of-light); None -> 1-D slicing.
     dia_shape: tuple | None = dataclasses.field(metadata=dict(static=True))
+    bell_nwin: int | None = dataclasses.field(metadata=dict(static=True))
     has_offd: bool = dataclasses.field(metadata=dict(static=True))
     mesh: jax.sharding.Mesh = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
@@ -113,11 +122,16 @@ class ShardedMatrix:
     def uses_dia(self) -> bool:
         return self.dia_offsets is not None
 
+    @property
+    def uses_bell(self) -> bool:
+        return self.bell_vals is not None
+
     # ------------------------------------------------------------------
     @staticmethod
     def from_coo(mesh, shape, rows, cols, vals, *, dtype=None, dedup="add",
                  row_offsets=None, col_offsets=None, axis: str = ROWS_AXIS,
-                 ell_align: int = 1, allow_dia: bool = True, dia_shape=None):
+                 ell_align: int = 1, allow_dia: bool = True,
+                 allow_bell: bool = True, dia_shape=None):
         """Assemble a global COO into the sharded format.
 
         Implements the full IJ ``SetValues/AddToValues + Assemble`` pipeline
@@ -146,13 +160,39 @@ class ShardedMatrix:
         return ShardedMatrix.from_local_parts(
             mesh, shape, parts, dtype=dtype, row_offsets=row_offsets,
             col_offsets=col_offsets, axis=axis, ell_align=ell_align,
-            allow_dia=allow_dia, dia_shape=dia_shape)
+            allow_dia=allow_dia, allow_bell=allow_bell, dia_shape=dia_shape)
+
+    @staticmethod
+    def from_csr_host(mesh, M, *, dtype=None, row_offsets=None,
+                      col_offsets=None, axis: str = ROWS_AXIS,
+                      allow_dia: bool = True, allow_bell: bool = True):
+        """Shard a host CSR directly: row blocks are contiguous indptr
+        slices, already row-sorted — no global COO sort.  This is the fast
+        path for AMG-setup products (P, R, Galerkin coarse operators),
+        which arrive as CSR from the host setup pipeline."""
+        M = M.tocsr()
+        nrows, ncols = M.shape
+        nparts = mesh.devices.size
+        if row_offsets is None:
+            row_offsets = row_decomposition(nrows, nparts)
+        row_offsets = np.asarray(row_offsets, np.int64)
+        parts = []
+        for p in range(nparts):
+            lo, hi = int(row_offsets[p]), int(row_offsets[p + 1])
+            s, e = M.indptr[lo], M.indptr[hi]
+            counts = np.diff(M.indptr[lo:hi + 1])
+            lr = np.repeat(np.arange(hi - lo, dtype=np.int64), counts)
+            parts.append((lr, M.indices[s:e].astype(np.int64), M.data[s:e]))
+        return ShardedMatrix.from_local_parts(
+            mesh, M.shape, parts, dtype=dtype, row_offsets=row_offsets,
+            col_offsets=col_offsets, axis=axis, allow_dia=allow_dia,
+            allow_bell=allow_bell)
 
     @staticmethod
     def from_local_parts(mesh, shape, parts, *, dtype=None, row_offsets=None,
                          col_offsets=None, axis: str = ROWS_AXIS,
                          ell_align: int = 1, allow_dia: bool = True,
-                         dia_shape=None):
+                         allow_bell: bool = True, dia_shape=None):
         # dia_shape: caller-guaranteed box-consistent 2-D/3-D view of each
         # shard's row space (see class docstring); ignored unless DIA is
         # selected and the product matches the padded shard size.
@@ -223,7 +263,33 @@ class ShardedMatrix:
             nparts, row_pad, row_counts, col_offsets, offd_parts, dtype,
             ell_align)
 
-        # --- diag block: DIA or ELL ---
+        # --- diag block: DIA, BELL, or ELL ---
+        use_bell = False
+        if not use_dia and allow_bell and total_diag_nnz >= BELL_MIN_NNZ:
+            from tpusolve.kernels import bell as bell_mod
+            bk = max((bell_mod.bell_plan_k(dp[0], dp[1], row_pad)
+                      for dp in diag_parts), default=0)
+            G = bell_mod._ngroups(row_pad)
+            tile_bytes = nparts * G * bk * bell_mod.TM * bell_mod.TN * \
+                np.dtype(dtype).itemsize
+            use_bell = bk > 0 and tile_bytes <= BELL_MAX_BYTES
+
+        if use_bell:
+            from tpusolve.kernels import bell as bell_mod
+            G = bell_mod._ngroups(row_pad)
+            bvals = np.zeros((nparts, G, bk, bell_mod.TM, bell_mod.TN), dtype)
+            bids = np.zeros((nparts, G, bk), np.int32)
+            for p in range(nparts):
+                dlr, dlc, dv = diag_parts[p]
+                bvals[p], bids[p] = bell_mod.bell_from_entries(
+                    dlr, dlc, dv, row_pad, col_pad, bk, dtype=dtype)
+            bell_nwin = (col_pad + bell_mod.TN - 1) // bell_mod.TN
+            dvals = np.zeros((nparts, row_pad, 1), dtype)
+            dcols = np.zeros((nparts, row_pad, 1), np.int32)
+            kd = 1
+        else:
+            bvals = bids = None
+            bell_nwin = None
         if use_dia:
             D = dia_union.size
             dia_vals = np.zeros((nparts, D, row_pad), dtype)
@@ -240,6 +306,10 @@ class ShardedMatrix:
                 dia_vals = dia_vals.reshape((nparts, D) + tuple(dia_shape))
             else:
                 dia_shape = None
+        elif use_bell:
+            dia_shape = None
+            dia_vals = None
+            dia_offsets = None
         else:
             dia_shape = None
             kd = 1
@@ -273,6 +343,8 @@ class ShardedMatrix:
         return ShardedMatrix(
             diag_vals=put(dvals), diag_cols=put(dcols),
             dia_vals=put(dia_vals) if use_dia else None,
+            bell_vals=put(bvals) if use_bell else None,
+            bell_ids=put(bids) if use_bell else None,
             offd_vals=put(ovals), offd_cols=put(ocols),
             send_idx=put(send_idx), ghost_slot=put(ghost_slot),
             diag=put(diag_main),
@@ -282,6 +354,7 @@ class ShardedMatrix:
             row_pad=row_pad, col_pad=col_pad, dia_offsets=dia_offsets,
             dia_shape=(tuple(int(v) for v in dia_shape)
                        if dia_shape is not None else None),
+            bell_nwin=bell_nwin,
             has_offd=offd_nnz > 0,
             mesh=mesh, axis=axis, nnz=nnz)
 
@@ -340,7 +413,7 @@ class ShardedMatrix:
         dummy = np.zeros((nparts, row_pad, 1), dtype)
         return ShardedMatrix(
             diag_vals=put(dummy), diag_cols=put(dummy.astype(np.int32)),
-            dia_vals=put(dia_vals),
+            dia_vals=put(dia_vals), bell_vals=None, bell_ids=None,
             offd_vals=put(ovals), offd_cols=put(ocols),
             send_idx=put(send_idx), ghost_slot=put(ghost_slot),
             diag=put(diag_main),
@@ -350,6 +423,7 @@ class ShardedMatrix:
             row_pad=row_pad, col_pad=row_pad, dia_offsets=dia_offsets,
             dia_shape=(tuple(int(v) for v in dia_shape)
                        if dia_shape is not None else None),
+            bell_nwin=None,
             has_offd=offd_nnz > 0, mesh=mesh, axis=axis, nnz=nnz)
 
     # ------------------------------------------------------------------
@@ -379,6 +453,17 @@ class ShardedMatrix:
                 rows.append(ro[p] + r_idx)
                 cols.append(co[p] + lc)
                 vals.append(dv[:, :nr][k_idx, r_idx])
+            elif self.uses_bell:
+                from tpusolve.kernels import bell as bell_mod
+                bv = np.asarray(self.bell_vals)[p]       # (G, K, 8, 128)
+                bi = np.asarray(self.bell_ids)[p]        # (G, K)
+                g_i, k_i, r_i, c_i = np.nonzero(bv)
+                lr = g_i * bell_mod.TM + r_i
+                lc = bi[g_i, k_i].astype(np.int64) * bell_mod.TN + c_i
+                keep = lr < nr
+                rows.append(ro[p] + lr[keep])
+                cols.append(co[p] + lc[keep])
+                vals.append(bv[g_i, k_i, r_i, c_i][keep])
             else:
                 ev = np.asarray(self.diag_vals)[p]
                 ec = np.asarray(self.diag_cols)[p]
@@ -410,6 +495,7 @@ class ShardedMatrix:
         cast = lambda a: a.astype(dtype) if a is not None else None
         return dataclasses.replace(
             self, diag_vals=cast(self.diag_vals), dia_vals=cast(self.dia_vals),
+            bell_vals=cast(self.bell_vals),
             offd_vals=cast(self.offd_vals), diag=cast(self.diag))
 
     def diagonal_padded(self) -> jax.Array:
@@ -476,7 +562,10 @@ def _ell_fill(vals_ell, cols_ell, lrows, lcols, vals):
     Entries may be in any order; a stable row sort assigns slots."""
     if lrows.size == 0:
         return
-    order = np.argsort(lrows, kind="stable")
+    if np.all(lrows[:-1] <= lrows[1:]):      # already row-sorted (CSR path)
+        order = np.arange(lrows.size)
+    else:
+        order = np.argsort(lrows, kind="stable")
     lr = lrows[order]
     starts = np.searchsorted(lr, np.arange(vals_ell.shape[0] + 1))
     pos = np.arange(lr.size) - starts[lr]

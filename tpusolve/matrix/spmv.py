@@ -37,6 +37,11 @@ try:  # jax >= 0.4.35 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+# Local-kernel implementation for BELL matrices: "xla" (row-gather +
+# batched contraction) or "pallas" (x-in-VMEM Mosaic kernel).  Default
+# chosen by measurement on v5e (see kernels/bell.py docstring).
+BELL_IMPL = "xla"
+
 
 def halo_exchange(x_loc, send_idx, ghost_slot, axis):
     """Exchange ghost values over the mesh axis.
@@ -121,6 +126,21 @@ def _spmv_shard_dia(axis, offsets, dia_shape, has_offd, dia, ov, oc, sidx,
     return y
 
 
+def _spmv_shard_bell(axis, nwin, row_pad, has_offd, impl, bv, bi, ov, oc,
+                     sidx, gslot, x_loc):
+    from tpusolve.kernels import bell as bell_mod
+    bv, bi, ov, oc, sidx, gslot = (a[0] for a in (bv, bi, ov, oc, sidx, gslot))
+    if impl == "pallas":
+        y = bell_mod.bell_spmv_pallas(bv, bi, x_loc, nwin, row_pad,
+                                      vma=(axis,))
+    else:
+        y = bell_mod.bell_spmv_local(bv, bi, x_loc, nwin, row_pad)
+    if has_offd:
+        ghosts = halo_exchange(x_loc, sidx, gslot, axis)
+        y = y + ell_spmv_local(ov, oc, ghosts)
+    return y
+
+
 def _spmv_shard_ell(axis, has_offd, dv, dc, ov, oc, sidx, gslot, x_loc):
     dv, dc, ov, oc, sidx, gslot = (a[0] for a in (dv, dc, ov, oc, sidx, gslot))
     y = ell_spmv_local(dv, dc, x_loc)
@@ -144,6 +164,13 @@ def spmv(A, x):
                     A.has_offd),
             mesh=A.mesh, in_specs=(spec,) * 6, out_specs=spec)
         return fn(A.dia_vals, A.offd_vals, A.offd_cols,
+                  A.send_idx, A.ghost_slot, x)
+    if A.uses_bell:
+        fn = shard_map(
+            partial(_spmv_shard_bell, A.axis, A.bell_nwin, A.row_pad,
+                    A.has_offd, BELL_IMPL),
+            mesh=A.mesh, in_specs=(spec,) * 7, out_specs=spec)
+        return fn(A.bell_vals, A.bell_ids, A.offd_vals, A.offd_cols,
                   A.send_idx, A.ghost_slot, x)
     fn = shard_map(
         partial(_spmv_shard_ell, A.axis, A.has_offd),

@@ -67,6 +67,21 @@ def make_mesh(n_devices: int | None = None, axis: str = ROWS_AXIS,
     return Mesh(np.asarray(devices), (axis,))
 
 
+def host_row_range(mesh: Mesh, offsets: np.ndarray) -> tuple[int, int]:
+    """Inclusive global row range owned by this process's addressable
+    devices — the TPU analog of the reference's per-rank overlap-filtered
+    file reads (src/HypreSystem.cpp:1147, 1203-1236).  Each host needs to
+    read/stage only this slice; with one process it is the full range."""
+    import jax as _jax
+    pid = _jax.process_index()
+    devs = list(mesh.devices.ravel())
+    local = [i for i, d in enumerate(devs)
+             if getattr(d, "process_index", 0) == pid]
+    if not local:
+        return 0, -1
+    return int(offsets[min(local)]), int(offsets[max(local) + 1] - 1)
+
+
 def compute_3d_process_distribution(nparts: int) -> tuple[int, int, int]:
     """Factor ``nparts`` into a 3-D process grid (px, py, pz).
 
