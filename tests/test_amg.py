@@ -95,7 +95,8 @@ class TestCoarsen:
 
 class TestInterp:
     @pytest.mark.parametrize("builder", [
-        interp_mod.direct_interpolation, interp_mod.classical_interpolation])
+        interp_mod.direct_interpolation, interp_mod.classical_interpolation,
+        interp_mod.extended_i_interpolation])
     def test_partition_of_unity_on_laplace(self, builder):
         # constant vectors must be reproduced: P @ 1_c = 1 (Laplace has zero
         # row sums in the interior, so weights sum to 1)

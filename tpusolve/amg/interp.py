@@ -207,6 +207,113 @@ def truncate(P: sp.csr_matrix, trunc_factor: float = 0.0,
     return out
 
 
+def extended_i_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
+                             splitting: np.ndarray) -> sp.csr_matrix:
+    """Extended+i interpolation (interp_type 6/7; De Sterck, Falgout,
+    Nolting, Yang, "Distance-two interpolation for parallel algebraic
+    multigrid", 2008).  The distance-2 repair for PMIS-style coarsenings,
+    where classical distance-1 weights degrade convergence badly.
+
+    Interpolation set C_i^e = C_i ∪ {C_k : k ∈ F_i^s}; weights
+
+        w_ij = -( a_ij + sum_{k in F_i^s} a_ik hat_a_kj / d_ik ) / tilde_a_ii
+        d_ik = sum_{m in C_i^e} hat_a_km + hat_a_ki          ("+i" term)
+        tilde_a_ii = a_ii + sum_{n in W_i} a_in
+                     + sum_{k in F_i^s} a_ik hat_a_ki / d_ik  (k->i backflow)
+                     (+ a_ik where d_ik = 0)
+
+    The backflow term is what makes the "+i" variant interpolate constants
+    exactly: the share of a_ik's mass distributed onto m = i stays on the
+    diagonal.
+
+    with hat_a keeping only entries of sign opposite to the row diagonal.
+    Same masked-sparse-product machinery as classical_interpolation — the
+    only structural changes are the extended pattern and the +i term.
+    """
+    A = A.tocsr()
+    n = A.shape[0]
+    is_C = splitting == C_PT
+    is_F = ~is_C
+    cmap = _coarse_numbering(splitting)
+    nc = int(is_C.sum())
+    if nc == 0:
+        return sp.csr_matrix((n, 0))
+
+    diag = A.diagonal()
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    cols = A.indices
+    vals = A.data
+    offd = cols != rows
+    strong = _pattern_mask(A, S) & offd
+    weak = offd & ~strong
+
+    strongC = strong & is_C[cols]
+    strongF = strong & is_F[cols]
+
+    opp = (vals * diag[rows]) < 0
+    Ahat = sp.csr_matrix((np.where(opp, vals, 0.0), cols.copy(),
+                          A.indptr.copy()), shape=A.shape)
+    A_sC = sp.csr_matrix((np.where(strongC, vals, 0.0), cols.copy(),
+                          A.indptr.copy()), shape=A.shape)
+    A_sF = sp.csr_matrix((np.where(strongF, vals, 0.0), cols.copy(),
+                          A.indptr.copy()), shape=A.shape)
+    A_sC.eliminate_zeros()
+    A_sF.eliminate_zeros()
+
+    # extended interpolation pattern: strong C of i, plus strong C of i's
+    # strong F neighbors
+    SC_pat = A_sC.copy()
+    SC_pat.data = np.ones_like(SC_pat.data)
+    SF_pat = A_sF.copy()
+    SF_pat.data = np.ones_like(SF_pat.data)
+    Ce_pat = (SC_pat + SF_pat @ SC_pat).tocsr()
+    Ce_pat.data = np.ones_like(Ce_pat.data)
+
+    # d_ik over A_sF's pattern: sum_m Ahat[k,m] Ce_pat[i,m] + Ahat[k,i]
+    D_full = ((Ahat @ Ce_pat.T).T + Ahat.T).tocsr()
+    D = _restrict_to_pattern(D_full, A_sF)
+
+    D_data_zero = D.data == 0
+    lump = sp.csr_matrix(
+        (A_sF.data * D_data_zero, D.indices.copy(), D.indptr.copy()),
+        shape=A.shape)
+    dlump = np.asarray(lump.sum(axis=1)).ravel()
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        W_data = np.where(D_data_zero, 0.0, A_sF.data / np.where(
+            D_data_zero, 1.0, D.data))
+    W = sp.csr_matrix((W_data, D.indices.copy(), D.indptr.copy()),
+                      shape=A.shape)
+
+    # distributed contributions masked to the extended pattern
+    T = _restrict_to_pattern((W @ Ahat).tocsr(), Ce_pat)
+    A_on_Ce = _restrict_to_pattern(A, Ce_pat)
+
+    # k -> i backflow onto the diagonal: sum_k (a_ik / d_ik) * hat_a_ki
+    AhatT_on_F = _restrict_to_pattern(Ahat.T.tocsr(), A_sF)
+    bf_rows = np.repeat(np.arange(n), np.diff(W.indptr))
+    backflow = np.bincount(bf_rows, weights=W.data * AhatT_on_F.data,
+                           minlength=n)
+
+    sum_weak = _rowsum(n, rows, vals, weak)
+    dii = diag + sum_weak + dlump + backflow
+    dii = np.where(dii != 0, dii, 1.0)
+
+    num = (A_on_Ce + T).tocsr()
+    nrows = np.repeat(np.arange(n), np.diff(num.indptr))
+    keep = is_F[nrows] & is_C[num.indices]
+    r_k = nrows[keep]
+    c_k = num.indices[keep]
+    w = -num.data[keep] / dii[r_k]
+
+    P_rows = np.concatenate([r_k, np.flatnonzero(is_C)])
+    P_cols = np.concatenate([cmap[c_k], cmap[is_C]])
+    P_vals = np.concatenate([w, np.ones(nc)])
+    P = sp.csr_matrix((P_vals, (P_rows, P_cols)), shape=(n, nc))
+    P.eliminate_zeros()
+    return P
+
+
 def multipass_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
                             splitting: np.ndarray) -> sp.csr_matrix:
     """Multipass interpolation (interp/agg_interp type 4; Stueben).
@@ -291,10 +398,15 @@ def build_interpolation(A, S, splitting, interp_type: int = 0,
         P = multipass_interpolation(A, S, splitting)
     elif interp_type == 3:
         P = direct_interpolation(A, S, splitting)
-    elif interp_type in (0, 6, 7, 8, 12, 13, 14, 16, 17, 18):
+    elif interp_type == 0:
         P = classical_interpolation(A, S, splitting)
-        if interp_type != 0:
-            note = f"interp_type {interp_type} mapped to classical-modified"
+    elif interp_type in (6, 7):
+        P = extended_i_interpolation(A, S, splitting)
+    elif interp_type in (8, 12, 13, 14, 16, 17, 18):
+        # remaining distance-2 family codes (standard, FF, extended,
+        # adaptive-weight variants) -> extended+i
+        P = extended_i_interpolation(A, S, splitting)
+        note = f"interp_type {interp_type} mapped to extended+i"
     else:
         raise ValueError(f"unsupported interp_type {interp_type}")
     P = truncate(P, trunc_factor, p_max_elmts)
