@@ -193,3 +193,36 @@ class TestDiaSelection:
         y1 = from_device_vector(spmv(A_dia, xd), A_dia.row_offsets, A_dia.row_pad)
         y2 = from_device_vector(spmv(A_ell, xd), A_ell.row_offsets, A_ell.row_pad)
         np.testing.assert_allclose(y1, y2, rtol=1e-13)
+
+
+class TestHaloOverlapToggle:
+    """HALO_OVERLAP changes scheduling, never results (ref comm-pkg
+    overlap, laplace_3d_weak_scaling.hpp:412-602)."""
+
+    def test_toggle_identical_results(self, mesh8, rng):
+        import importlib
+        spmv_mod = importlib.import_module('tpusolve.matrix.spmv')
+        from tpusolve.matrix.sharded import ShardedMatrix
+        from tpusolve.matrix.vectors import to_device_vector, \
+            from_device_vector
+        n = 257
+        rows = np.repeat(np.arange(n, dtype=np.int64), 4)
+        cols = rng.integers(0, n, size=4 * n)
+        vals = rng.standard_normal(4 * n)
+        A = ShardedMatrix.from_coo(mesh8, (n, n), rows, cols, vals,
+                                   dtype=np.float64, dedup="add")
+        assert A.has_offd
+        x = rng.standard_normal(n)
+        xd = to_device_vector(mesh8, x, A.col_offsets, A.col_pad,
+                              dtype=np.float64)
+        old = spmv_mod.HALO_OVERLAP
+        try:
+            spmv_mod.HALO_OVERLAP = True
+            y_on = from_device_vector(spmv_mod.spmv(A, xd), A.row_offsets,
+                                      A.row_pad)
+            spmv_mod.HALO_OVERLAP = False
+            y_off = from_device_vector(spmv_mod.spmv(A, xd), A.row_offsets,
+                                       A.row_pad)
+        finally:
+            spmv_mod.HALO_OVERLAP = old
+        np.testing.assert_allclose(y_on, y_off, rtol=1e-14)

@@ -28,9 +28,29 @@ Conclusions that shape the format layer (tpusolve/matrix):
 * Mosaic rejects unaligned 1-D vector loads, and lane ``roll``s are ~100x
   too slow to build a gather-free SpMV from — the XLA formulation wins.
 
+Round 2 added the **block-ELL (BELL) unstructured fast path** (bell.py) and
+measured it on v5e (2M rows / 7M nnz, jittered-stencil pattern,
+DIA-ineligible, K = 9 tiles per 8-row group, tile fill 2.3%):
+
+=====================================================  ============
+formulation                                            per SpMV
+=====================================================  ============
+padded-ELL, XLA gather (x[cols])                       ~60   ms (est)
+BELL, Pallas kernel (x in VMEM, SMEM ids, streamed)     5.23 ms
+**BELL, XLA row-gather + batched contraction**          3.19 ms
+=====================================================  ============
+
+* XLA gathers of full (1, 128) rows are ~3 orders cheaper per byte than
+  element gathers — the entire BELL design keys off that asymmetry.
+* The XLA formulation streams tiles at 378 GB/s (46% of SoL); the Pallas
+  kernel at 231 GB/s (per-tile scalar work dominates its inner loop), so
+  ``BELL_IMPL = "xla"`` is the default and the Pallas kernel stays as the
+  selectable alternative.
+* Effective bandwidth is set by tile fill: 18 GB/s at 2.3% fill here;
+  denser (multi-dof / reordered) matrices scale proportionally.
+
 Remaining Pallas candidates for future rounds (kept here as the workspace):
 fused SpMV+dot for PCG (saves one vector read per iteration), halo exchange
-via ``make_async_remote_copy`` overlapping the interior DIA sweep, and a
-block-ELL MXU kernel for genuinely unstructured matrices (the ELL-gather
-fallback is the framework's one slow path).
+via ``make_async_remote_copy`` overlapping the interior DIA sweep, and
+sub-tiled BELL (4x32-column sub-windows per physical tile) to raise fill.
 """

@@ -42,6 +42,14 @@ except AttributeError:  # pragma: no cover
 # chosen by measurement on v5e (see kernels/bell.py docstring).
 BELL_IMPL = "xla"
 
+# Halo/compute overlap: when True (default) the halo all_to_all is issued
+# before the interior sweep with no data dependence between them, letting
+# XLA's async-collective scheduler run the ICI transfer under the local
+# compute (the comm-pkg overlap of the reference's generator,
+# ref: laplace_3d_weak_scaling.hpp:412-602).  False serializes them with an
+# optimization_barrier — the measurement baseline.  Read at trace time.
+HALO_OVERLAP = True
+
 
 def halo_exchange(x_loc, send_idx, ghost_slot, axis):
     """Exchange ghost values over the mesh axis.
@@ -116,14 +124,25 @@ def _decompose_offset(off: int, dims: tuple) -> tuple:
     return tuple(reversed(comps))
 
 
+def _offd_add(axis, x_loc, interior_fn, ov, oc, sidx, gslot):
+    """interior ⊕ halo with the overlap policy applied."""
+    if HALO_OVERLAP:
+        ghosts = halo_exchange(x_loc, sidx, gslot, axis)   # async, under…
+        y = interior_fn(x_loc)                             # …this sweep
+    else:
+        y = interior_fn(x_loc)
+        x_ser, _ = lax.optimization_barrier((x_loc, y))    # force ordering
+        ghosts = halo_exchange(x_ser, sidx, gslot, axis)
+    return y + ell_spmv_local(ov, oc, ghosts)
+
+
 def _spmv_shard_dia(axis, offsets, dia_shape, has_offd, dia, ov, oc, sidx,
                     gslot, x_loc):
     dia, ov, oc, sidx, gslot = (a[0] for a in (dia, ov, oc, sidx, gslot))
-    y = dia_spmv_local(dia, offsets, dia_shape, x_loc)
+    interior = lambda x: dia_spmv_local(dia, offsets, dia_shape, x)
     if has_offd:
-        ghosts = halo_exchange(x_loc, sidx, gslot, axis)
-        y = y + ell_spmv_local(ov, oc, ghosts)
-    return y
+        return _offd_add(axis, x_loc, interior, ov, oc, sidx, gslot)
+    return interior(x_loc)
 
 
 def _spmv_shard_bell(axis, nwin, row_pad, has_offd, impl, bv, bi, ov, oc,
@@ -131,23 +150,22 @@ def _spmv_shard_bell(axis, nwin, row_pad, has_offd, impl, bv, bi, ov, oc,
     from tpusolve.kernels import bell as bell_mod
     bv, bi, ov, oc, sidx, gslot = (a[0] for a in (bv, bi, ov, oc, sidx, gslot))
     if impl == "pallas":
-        y = bell_mod.bell_spmv_pallas(bv, bi, x_loc, nwin, row_pad,
-                                      vma=(axis,))
+        interior = lambda x: bell_mod.bell_spmv_pallas(bv, bi, x, nwin,
+                                                       row_pad, vma=(axis,))
     else:
-        y = bell_mod.bell_spmv_local(bv, bi, x_loc, nwin, row_pad)
+        interior = lambda x: bell_mod.bell_spmv_local(bv, bi, x, nwin,
+                                                      row_pad)
     if has_offd:
-        ghosts = halo_exchange(x_loc, sidx, gslot, axis)
-        y = y + ell_spmv_local(ov, oc, ghosts)
-    return y
+        return _offd_add(axis, x_loc, interior, ov, oc, sidx, gslot)
+    return interior(x_loc)
 
 
 def _spmv_shard_ell(axis, has_offd, dv, dc, ov, oc, sidx, gslot, x_loc):
     dv, dc, ov, oc, sidx, gslot = (a[0] for a in (dv, dc, ov, oc, sidx, gslot))
-    y = ell_spmv_local(dv, dc, x_loc)
+    interior = lambda x: ell_spmv_local(dv, dc, x)
     if has_offd:
-        ghosts = halo_exchange(x_loc, sidx, gslot, axis)
-        y = y + ell_spmv_local(ov, oc, ghosts)
-    return y
+        return _offd_add(axis, x_loc, interior, ov, oc, sidx, gslot)
+    return interior(x_loc)
 
 
 def spmv(A, x):
