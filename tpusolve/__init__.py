@@ -17,6 +17,38 @@ and ILU smoothing — is implemented natively for TPU:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import numpy as _np
+
+if _os.environ.get("TPUSOLVE_HUGEPAGE", "0") != "1":
+    # numpy's default MADV_HUGEPAGE makes every large allocation stall on
+    # synchronous THP compaction once host memory fragments — measured
+    # multi-second pauses inside basic 7M-element ops on paravirtualized
+    # hosts (assembly of a 7M-nnz operator: 36 s -> 2.9 s with it off).
+    # The runtime switch works even though numpy is already imported.
+    for _mod in ("_core", "core"):
+        try:
+            getattr(_np, _mod).multiarray._set_madvise_hugepage(False)
+            break
+        except (AttributeError, TypeError):
+            continue
+
+if _os.environ.get("TPUSOLVE_MALLOC_TUNE", "1") == "1":
+    # Large numpy temporaries default to per-allocation mmap, which glibc
+    # munmaps on free — so every setup-phase temporary re-faults its pages.
+    # On paravirtualized hosts a fresh-mmap fault costs ~45 us/4KB page
+    # (measured), making GB-scale sparse setup allocation-bound.  Routing
+    # large blocks through the (persistent, fast-faulting) main heap fixed
+    # a varied 2 GB alloc+fill loop from ~25 s to 0.3 s.
+    try:
+        import ctypes as _ct
+        _libc = _ct.CDLL("libc.so.6", use_errno=True)
+        _libc.mallopt(-3, 2**31 - 1)   # M_MMAP_THRESHOLD: keep on heap
+        _libc.mallopt(-1, 2**31 - 1)   # M_TRIM_THRESHOLD: never give back
+    except (OSError, AttributeError):
+        pass
+
 from tpusolve.mesh import make_mesh, row_decomposition
 from tpusolve.matrix.sharded import ShardedMatrix
 from tpusolve.matrix.vectors import to_device_vector, from_device_vector

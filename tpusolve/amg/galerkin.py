@@ -13,9 +13,17 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
+from tpusolve.native import spk
+
+
+def _spgemm(X: sp.csr_matrix, Y: sp.csr_matrix) -> sp.csr_matrix:
+    out = spk.spgemm(X, Y)
+    return (X @ Y).tocsr() if out is None else out
+
 
 def rap(A: sp.csr_matrix, P: sp.csr_matrix) -> sp.csr_matrix:
-    Ac = (P.T @ (A @ P)).tocsr()
+    AP = _spgemm(A.tocsr(), P.tocsr())
+    Ac = _spgemm(P.T.tocsr(), AP)
     Ac.sum_duplicates()
     return Ac
 

@@ -20,6 +20,47 @@ import numpy as np
 import scipy.sparse as sp
 
 from tpusolve.amg.coarsen import C_PT
+from tpusolve.native import spk
+
+
+def _sampled_abt(X: sp.csr_matrix, Y: sp.csr_matrix,
+                 Pat: sp.csr_matrix) -> sp.csr_matrix:
+    """CSR with Pat's exact pattern holding (X @ Y.T)[i, k] there.
+
+    The native SDDMM kernel computes the values only at Pat's entries; the
+    scipy fallback materializes the full (distance-2) product first — that
+    intermediate is ~nnz * row_width entries and dominated setup profiles,
+    which is why the masked form exists."""
+    vals = spk.masked_abt(X, Y, Pat)
+    if vals is not None:
+        return sp.csr_matrix((vals, Pat.indices.copy(), Pat.indptr.copy()),
+                             shape=Pat.shape)
+    return _restrict_to_pattern((X @ Y.T).tocsr(), Pat)
+
+
+def _sampled_ab(X: sp.csr_matrix, Y: sp.csr_matrix,
+                Pat: sp.csr_matrix) -> sp.csr_matrix:
+    """CSR with Pat's exact pattern holding (X @ Y)[i, j] there."""
+    vals = spk.masked_ab(X, Y, Pat)
+    if vals is not None:
+        return sp.csr_matrix((vals, Pat.indices.copy(), Pat.indptr.copy()),
+                             shape=Pat.shape)
+    return _restrict_to_pattern((X @ Y).tocsr(), Pat)
+
+
+def _sampled_transpose(Y: sp.csr_matrix, Pat: sp.csr_matrix) -> sp.csr_matrix:
+    """CSR with Pat's exact pattern holding Y^T's values there (no
+    materialized transpose)."""
+    vals = spk.sampled_transpose(Y, Pat)
+    if vals is not None:
+        return sp.csr_matrix((vals, Pat.indices.copy(), Pat.indptr.copy()),
+                             shape=Pat.shape)
+    return _restrict_to_pattern(Y.T.tocsr(), Pat)
+
+
+def _spgemm(X: sp.csr_matrix, Y: sp.csr_matrix) -> sp.csr_matrix:
+    out = spk.spgemm(X.tocsr(), Y.tocsr())
+    return (X @ Y).tocsr() if out is None else out
 
 
 def _coarse_numbering(splitting: np.ndarray) -> np.ndarray:
@@ -107,42 +148,37 @@ def classical_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
     strongC = strong & is_C[cols]
     strongF = strong & is_F[cols]
 
-    # hat A: entries of sign opposite to the row's diagonal
+    # hat A: entries of sign opposite to the row's diagonal.  Ahat shares
+    # A's index arrays (never mutated; explicit zeros are harmless to the
+    # masked products); the strong pieces are extracted compactly.
     opp = (vals * diag[rows]) < 0
-    Ahat = sp.csr_matrix((np.where(opp, vals, 0.0), cols.copy(),
-                          A.indptr.copy()), shape=A.shape)
+    Ahat = sp.csr_matrix((np.where(opp, vals, 0.0), cols, A.indptr),
+                         shape=A.shape)
 
     # sparse pieces
-    A_sC = sp.csr_matrix((np.where(strongC, vals, 0.0), cols.copy(),
-                          A.indptr.copy()), shape=A.shape)
-    A_sF = sp.csr_matrix((np.where(strongF, vals, 0.0), cols.copy(),
-                          A.indptr.copy()), shape=A.shape)
-    A_sC.eliminate_zeros()
-    A_sF.eliminate_zeros()
-    SC_pat = A_sC.copy()
-    SC_pat.data = np.ones_like(SC_pat.data)
+    A_sC = _extract_csr(n, n, rows, cols, vals, strongC)
+    A_sF = _extract_csr(n, n, rows, cols, vals, strongF)
+    SC_pat = sp.csr_matrix((np.ones(A_sC.nnz), A_sC.indices, A_sC.indptr),
+                           shape=A.shape)
 
-    # d_ik = sum_{m in C_i} hat_a_km  = (Ahat * pattern(C_i)) summed ->
-    # D = SC_pat @ Ahat^T restricted to A_sF's pattern
-    D_full = (Ahat @ SC_pat.T).T.tocsr()       # D_full[i,k] = sum_m Ahat[k,m] SC_pat[i,m]
-    D = _restrict_to_pattern(D_full, A_sF)
+    # d_ik = sum_{m in C_i} hat_a_km: D[i,k] = sum_m SC_pat[i,m] Ahat[k,m],
+    # needed only at A_sF's pattern (masked product — never materialize the
+    # full distance-2 operator)
+    D = _sampled_abt(SC_pat, Ahat, A_sF)
 
-    # k's with d_ik == 0: lump a_ik into the diagonal
+    # k's with d_ik == 0: lump a_ik into the diagonal (reduceat over the
+    # shared pattern — no intermediate csr)
     D_data_zero = D.data == 0
-    lump = sp.csr_matrix(
-        (A_sF.data * D_data_zero, D.indices.copy(), D.indptr.copy()),
-        shape=A.shape)
-    dlump = np.asarray(lump.sum(axis=1)).ravel()
+    dlump = _rowsum_csr(n, D.indptr, A_sF.data * D_data_zero)
 
-    # W_ik = a_ik / d_ik where d_ik != 0
-    with np.errstate(divide="ignore", invalid="ignore"):
-        W_data = np.where(D_data_zero, 0.0, A_sF.data / np.where(
-            D_data_zero, 1.0, D.data))
-    W = sp.csr_matrix((W_data, D.indices.copy(), D.indptr.copy()),
-                      shape=A.shape)
+    # W_ik = a_ik / d_ik where d_ik != 0 — written in place into D's data
+    # (D is not needed afterwards); W shares the pattern arrays
+    np.divide(A_sF.data, D.data, out=D.data, where=~D_data_zero)
+    D.data[D_data_zero] = 0.0
+    W = D
 
     # distributed contributions T = W @ Ahat, masked to strong-C pattern of i
-    T = _restrict_to_pattern((W @ Ahat).tocsr(), A_sC)
+    T = _sampled_ab(W, Ahat, A_sC)
 
     # tilde diagonal: a_ii + weak connections + lumped dead F connections
     sum_weak = _rowsum(n, rows, vals, weak)
@@ -251,49 +287,42 @@ def extended_i_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
     strongF = strong & is_F[cols]
 
     opp = (vals * diag[rows]) < 0
-    Ahat = sp.csr_matrix((np.where(opp, vals, 0.0), cols.copy(),
-                          A.indptr.copy()), shape=A.shape)
-    A_sC = sp.csr_matrix((np.where(strongC, vals, 0.0), cols.copy(),
-                          A.indptr.copy()), shape=A.shape)
-    A_sF = sp.csr_matrix((np.where(strongF, vals, 0.0), cols.copy(),
-                          A.indptr.copy()), shape=A.shape)
-    A_sC.eliminate_zeros()
-    A_sF.eliminate_zeros()
+    Ahat = sp.csr_matrix((np.where(opp, vals, 0.0), cols, A.indptr),
+                         shape=A.shape)
+    A_sC = _extract_csr(n, n, rows, cols, vals, strongC)
+    A_sF = _extract_csr(n, n, rows, cols, vals, strongF)
 
     # extended interpolation pattern: strong C of i, plus strong C of i's
     # strong F neighbors
-    SC_pat = A_sC.copy()
-    SC_pat.data = np.ones_like(SC_pat.data)
-    SF_pat = A_sF.copy()
-    SF_pat.data = np.ones_like(SF_pat.data)
-    Ce_pat = (SC_pat + SF_pat @ SC_pat).tocsr()
+    SC_pat = sp.csr_matrix((np.ones(A_sC.nnz), A_sC.indices, A_sC.indptr),
+                           shape=A.shape)
+    SF_pat = sp.csr_matrix((np.ones(A_sF.nnz), A_sF.indices, A_sF.indptr),
+                           shape=A.shape)
+    Ce_pat = (SC_pat + _spgemm(SF_pat, SC_pat)).tocsr()
     Ce_pat.data = np.ones_like(Ce_pat.data)
 
-    # d_ik over A_sF's pattern: sum_m Ahat[k,m] Ce_pat[i,m] + Ahat[k,i]
-    D_full = ((Ahat @ Ce_pat.T).T + Ahat.T).tocsr()
-    D = _restrict_to_pattern(D_full, A_sF)
+    # d_ik over A_sF's pattern: sum_m Ce_pat[i,m] Ahat[k,m] + Ahat[k,i]
+    # (masked product + pattern-restricted transpose; both are built with
+    # exactly A_sF's pattern, so their data arrays align 1:1 and add
+    # directly — never materialize the full distance-2 operator)
+    D = _sampled_abt(Ce_pat, Ahat, A_sF)
+    D.data = D.data + _sampled_transpose(Ahat, A_sF).data
 
     D_data_zero = D.data == 0
-    lump = sp.csr_matrix(
-        (A_sF.data * D_data_zero, D.indices.copy(), D.indptr.copy()),
-        shape=A.shape)
-    dlump = np.asarray(lump.sum(axis=1)).ravel()
+    dlump = _rowsum_csr(n, D.indptr, A_sF.data * D_data_zero)
 
-    with np.errstate(divide="ignore", invalid="ignore"):
-        W_data = np.where(D_data_zero, 0.0, A_sF.data / np.where(
-            D_data_zero, 1.0, D.data))
-    W = sp.csr_matrix((W_data, D.indices.copy(), D.indptr.copy()),
-                      shape=A.shape)
+    # W_ik = a_ik / d_ik where d_ik != 0, written in place into D's data
+    np.divide(A_sF.data, D.data, out=D.data, where=~D_data_zero)
+    D.data[D_data_zero] = 0.0
+    W = D
 
     # distributed contributions masked to the extended pattern
-    T = _restrict_to_pattern((W @ Ahat).tocsr(), Ce_pat)
+    T = _sampled_ab(W, Ahat, Ce_pat)
     A_on_Ce = _restrict_to_pattern(A, Ce_pat)
 
     # k -> i backflow onto the diagonal: sum_k (a_ik / d_ik) * hat_a_ki
-    AhatT_on_F = _restrict_to_pattern(Ahat.T.tocsr(), A_sF)
-    bf_rows = np.repeat(np.arange(n), np.diff(W.indptr))
-    backflow = np.bincount(bf_rows, weights=W.data * AhatT_on_F.data,
-                           minlength=n)
+    AhatT_on_F = _sampled_transpose(Ahat, A_sF)
+    backflow = _rowsum_csr(n, W.indptr, W.data * AhatT_on_F.data)
 
     sum_weak = _rowsum(n, rows, vals, weak)
     dii = diag + sum_weak + dlump + backflow
@@ -416,6 +445,29 @@ def build_interpolation(A, S, splitting, interp_type: int = 0,
 # ----------------------------------------------------------------------
 def _rowsum(n, rows, vals, mask):
     return np.bincount(rows[mask], weights=vals[mask], minlength=n)
+
+
+def _extract_csr(n, m, rows, cols, vals, mask) -> sp.csr_matrix:
+    """Compact CSR of A's entries where ``mask`` holds — equivalent to the
+    where(mask)->csr->eliminate_zeros pipeline without ever allocating
+    nnz(A)-sized temporaries (rows must be the CSR row expansion, so
+    entries stay row- and column-sorted)."""
+    idx = np.flatnonzero(mask)
+    counts = np.bincount(rows[idx], minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(cols.dtype)
+    out = sp.csr_matrix((vals[idx], cols[idx], indptr), shape=(n, m))
+    out.has_sorted_indices = True
+    return out
+
+
+def _rowsum_csr(n, indptr, data):
+    """Per-row sums of CSR-aligned data without building a matrix."""
+    counts = np.diff(indptr)
+    out = np.zeros(n)
+    ne = counts > 0
+    if ne.any():
+        out[ne] = np.add.reduceat(data, indptr[:-1][ne])
+    return out
 
 
 def _keys(M: sp.csr_matrix) -> np.ndarray:

@@ -56,13 +56,17 @@ def main(argv=None) -> int:
     num_tests = cfg.solver.num_tests
     profile = CsvProfile()
     ok = True
+    # reuse_preconditioner (ref yaml surface, etc/hypre_app.yaml:21): one
+    # shared cache across the test loop; the first test builds, later tests
+    # reuse the preconditioner/solver pair
+    reuse_cache = {} if cfg.solver.reuse_preconditioner else None
     t_start = time.perf_counter()
     for test in range(num_tests):
         if num_tests > 1:
             print(f"\n=== test {test + 1}/{num_tests} ===", flush=True)
         # deterministic per-test seeding (ref: src/main.cpp:169)
         np.random.seed(1234)
-        sys_ = LinearSystem(mesh, cfg)
+        sys_ = LinearSystem(mesh, cfg, reuse_cache=reuse_cache)
         sys_.setup_precon_and_solver()
         sys_.load()
         if probe_memory:

@@ -40,11 +40,16 @@ import scipy.sparse as sp
 
 
 class LinearSystem:
-    def __init__(self, mesh, config: AppConfig, verbose: bool = True):
+    def __init__(self, mesh, config: AppConfig, verbose: bool = True,
+                 reuse_cache: dict | None = None):
         self.mesh = mesh
         self.config = config
         self.verbose = verbose
         self.timers = Timers()
+        # reuse_preconditioner: the CLI passes one dict across the
+        # num_tests loop; the built solver/preconditioner are stashed there
+        # and later tests skip the setup phase (same system each test)
+        self._reuse_cache = reuse_cache
 
         ls = config.linear_system
         self.num_components = ls.num_components
@@ -350,10 +355,19 @@ class LinearSystem:
         """Preconditioner setup + solve per component
         (ref: src/HypreSystem.cpp:673-737)."""
         with self.timers.span("Preconditioner setup") as fence:
-            self._precond, M = (None, None)
-            if self._method not in ("boomeramg", "ilu"):
-                self._precond, M = self._build_preconditioner()
-            solver = self._build_solver(M)
+            cache = self._reuse_cache
+            if cache is not None and "solver" in cache:
+                self._log("Reusing preconditioner/solver from previous test")
+                solver = cache["solver"]
+                self._precond = cache.get("precond")
+            else:
+                self._precond, M = (None, None)
+                if self._method not in ("boomeramg", "ilu"):
+                    self._precond, M = self._build_preconditioner()
+                solver = self._build_solver(M)
+                if cache is not None:
+                    cache["solver"] = solver
+                    cache["precond"] = self._precond
 
         if self.config.linear_system.write_amg_matrices and \
                 self._precond is not None and hasattr(self._precond, "levels"):

@@ -45,6 +45,16 @@ TN = 128  # tile cols (lane width)
 # Host-side assembly
 # ----------------------------------------------------------------------
 
+def _sorted_unique_inverse(key_s: np.ndarray):
+    """(uniq, inverse) of an already-sorted key array — O(n), no re-sort
+    (``np.unique(..., return_inverse=True)`` re-sorts and was measured
+    pathologically slow on large inputs)."""
+    flag = np.empty(key_s.size, bool)
+    flag[0] = True
+    np.not_equal(key_s[1:], key_s[:-1], out=flag[1:])
+    return key_s[flag], np.cumsum(flag) - 1
+
+
 def bell_plan_k(lr: np.ndarray, lc: np.ndarray, row_pad: int) -> int:
     """Max tiles per 8-row group for one shard's entries (K before
     cross-shard padding)."""
@@ -61,20 +71,22 @@ def _ngroups(row_pad: int) -> int:
     return max(1, (row_pad + TM - 1) // TM)
 
 
-def bell_from_entries(lr, lc, v, row_pad: int, col_pad: int, kmax: int,
-                      dtype=np.float32):
-    """Scatter one shard's local COO into BELL arrays.
+def bell_compact(lr, lc, v, row_pad: int, col_pad: int, kmax: int,
+                 dtype=np.float32):
+    """Plan one shard's BELL layout without materializing the dense tiles.
 
-    lr/lc: local row/col indices; kmax: tiles per group (uniform across
-    shards so stacked device arrays share a shape).  Returns
-    (vals (G, kmax, 8, 128), ids (G, kmax) int32).
+    Returns ``(ids, flat_idx, vals_ordered)``: ``ids`` is the small
+    (G, kmax) int32 tile->column-window table; ``flat_idx``/``vals_ordered``
+    are nnz-compact scatter staging for the (G, kmax, 8, 128) value array
+    (``tiles.reshape(-1)[flat_idx] = vals_ordered``) — materialized on
+    device (see matrix/build.py; the dense expansion can be 100x nnz).
     """
     G = _ngroups(row_pad)
-    vals = np.zeros((G, max(kmax, 1), TM, TN), dtype)
-    ids = np.zeros((G, max(kmax, 1)), np.int32)
+    kmax = max(kmax, 1)
+    ids = np.zeros((G, kmax), np.int32)
     lr = np.asarray(lr, np.int64)
     if lr.size == 0:
-        return vals, ids
+        return ids, np.zeros(0, np.int64), np.zeros(0, dtype)
     lc = np.asarray(lc, np.int64)
     v = np.asarray(v, dtype)
     gid = lr // TM
@@ -83,7 +95,7 @@ def bell_from_entries(lr, lc, v, row_pad: int, col_pad: int, kmax: int,
     key = gid * nwin + wid
     order = np.argsort(key, kind="stable")
     key_s = key[order]
-    uniq, tile_of = np.unique(key_s, return_inverse=True)
+    uniq, tile_of = _sorted_unique_inverse(key_s)
     # slot of each tile within its group (tiles sorted by key => by gid)
     tile_gid = uniq // nwin
     starts = np.searchsorted(tile_gid, np.arange(G + 1))
@@ -93,8 +105,19 @@ def bell_from_entries(lr, lc, v, row_pad: int, col_pad: int, kmax: int,
     ids[tile_gid, slot_of_tile] = (uniq % nwin).astype(np.int32)
     slot = slot_of_tile[tile_of]                 # per (sorted) entry
     lro, lco, vo = lr[order], lc[order], v[order]
-    vals[lro // TM, slot, lro % TM, lco % TN] = vo
-    return vals, ids
+    flat_idx = ((lro // TM * kmax + slot) * TM + lro % TM) * TN + lco % TN
+    return ids, flat_idx, vo
+
+
+def bell_from_entries(lr, lc, v, row_pad: int, col_pad: int, kmax: int,
+                      dtype=np.float32):
+    """Host-materialized variant of :func:`bell_compact` (small shards,
+    tests).  Returns (vals (G, kmax, 8, 128), ids (G, kmax) int32)."""
+    ids, flat_idx, vo = bell_compact(lr, lc, v, row_pad, col_pad, kmax, dtype)
+    G = _ngroups(row_pad)
+    vals = np.zeros(G * max(kmax, 1) * TM * TN, dtype)
+    vals[flat_idx] = vo
+    return vals.reshape(G, max(kmax, 1), TM, TN), ids
 
 
 # ----------------------------------------------------------------------

@@ -48,6 +48,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tpusolve.mesh import ROWS_AXIS, row_decomposition
 from tpusolve.matrix import coo as coo_mod
+from tpusolve.matrix.build import materialize_sharded
 
 # DIA is used when the diag block has at most this many distinct offsets...
 DIA_MAX_OFFSETS = 96
@@ -260,8 +261,8 @@ class ShardedMatrix:
 
         # --- offd block + halo plan (shared implementation) ---
         (ovals, ocols, send_idx, ghost_slot, offd_nnz) = _build_offd_and_halo(
-            nparts, row_pad, row_counts, col_offsets, offd_parts, dtype,
-            ell_align)
+            mesh, axis, nparts, row_pad, row_counts, col_offsets, offd_parts,
+            dtype, ell_align)
 
         # --- diag block: DIA, BELL, or ELL ---
         use_bell = False
@@ -277,12 +278,17 @@ class ShardedMatrix:
         if use_bell:
             from tpusolve.kernels import bell as bell_mod
             G = bell_mod._ngroups(row_pad)
-            bvals = np.zeros((nparts, G, bk, bell_mod.TM, bell_mod.TN), dtype)
             bids = np.zeros((nparts, G, bk), np.int32)
+            b_idx, b_val = [], []
             for p in range(nparts):
                 dlr, dlc, dv = diag_parts[p]
-                bvals[p], bids[p] = bell_mod.bell_from_entries(
+                bids[p], fi, vo = bell_mod.bell_compact(
                     dlr, dlc, dv, row_pad, col_pad, bk, dtype=dtype)
+                b_idx.append(fi)
+                b_val.append(vo)
+            bvals = materialize_sharded(
+                mesh, axis, b_idx, b_val,
+                (G, bk, bell_mod.TM, bell_mod.TN), dtype)
             bell_nwin = (col_pad + bell_mod.TN - 1) // bell_mod.TN
             dvals = np.zeros((nparts, row_pad, 1), dtype)
             dcols = np.zeros((nparts, row_pad, 1), np.int32)
@@ -292,20 +298,24 @@ class ShardedMatrix:
             bell_nwin = None
         if use_dia:
             D = dia_union.size
-            dia_vals = np.zeros((nparts, D, row_pad), dtype)
+            d_idx, d_val = [], []
             for p in range(nparts):
                 dlr, dlc, dv = diag_parts[p]
-                if dlr.size:
-                    slot = np.searchsorted(dia_union, dlc - dlr)
-                    dia_vals[p][slot, dlr] = dv
+                slot = (np.searchsorted(dia_union, dlc - dlr) if dlr.size
+                        else np.zeros(0, np.int64))
+                d_idx.append(slot * row_pad + dlr)
+                d_val.append(dv)
+            if dia_shape is not None and int(np.prod(dia_shape)) == row_pad:
+                dia_tail = (D,) + tuple(dia_shape)
+            else:
+                dia_shape = None
+                dia_tail = (D, row_pad)
+            dia_vals = materialize_sharded(mesh, axis, d_idx, d_val,
+                                           dia_tail, dtype)
             kd = 1
             dvals = np.zeros((nparts, row_pad, 1), dtype)
             dcols = np.zeros((nparts, row_pad, 1), np.int32)
             dia_offsets = tuple(int(o) for o in dia_union)
-            if dia_shape is not None and int(np.prod(dia_shape)) == row_pad:
-                dia_vals = dia_vals.reshape((nparts, D) + tuple(dia_shape))
-            else:
-                dia_shape = None
         elif use_bell:
             dia_shape = None
             dia_vals = None
@@ -319,10 +329,16 @@ class ShardedMatrix:
                     kd = max(kd, int(np.bincount(
                         dlr, minlength=int(row_counts[p])).max()))
             kd = _ceil_to(kd, ell_align)
-            dvals = np.zeros((nparts, row_pad, kd), dtype)
-            dcols = np.zeros((nparts, row_pad, kd), np.int32)
+            e_idx, e_val, e_col = [], [], []
             for p in range(nparts):
-                _ell_fill(dvals[p], dcols[p], *diag_parts[p])
+                flat, vo, co = _ell_compact(kd, *diag_parts[p])
+                e_idx.append(flat)
+                e_val.append(vo)
+                e_col.append(co)
+            dvals = materialize_sharded(mesh, axis, e_idx, e_val,
+                                        (row_pad, kd), dtype)
+            dcols = materialize_sharded(mesh, axis, e_idx, e_col,
+                                        (row_pad, kd), np.int32)
             dia_vals = None
             dia_offsets = None
 
@@ -338,7 +354,8 @@ class ShardedMatrix:
                     diag_main[p, dlr[on_diag]] += dv[on_diag]
 
         sharding = NamedSharding(mesh, P(axis))
-        put = lambda a: jax.device_put(a, sharding)
+        put = lambda a: (a if isinstance(a, jax.Array)
+                         else jax.device_put(a, sharding))
         nnz = int(sum(np.asarray(p[2]).size for p in parts))
         return ShardedMatrix(
             diag_vals=put(dvals), diag_cols=put(dcols),
@@ -393,7 +410,8 @@ class ShardedMatrix:
         row_counts = np.diff(row_offsets)
 
         (ovals, ocols, send_idx, ghost_slot, offd_nnz) = _build_offd_and_halo(
-            nparts, row_pad, row_counts, col_offsets, offd_parts, dtype, 1)
+            mesh, axis, nparts, row_pad, row_counts, col_offsets, offd_parts,
+            dtype, 1)
 
         dia_offsets = tuple(int(o) for o in dia_offsets)
         diag_main = np.zeros((nparts, row_pad), dtype)
@@ -408,7 +426,8 @@ class ShardedMatrix:
             dia_vals = dia_vals.reshape((nparts, D) + tuple(dia_shape))
 
         sharding = NamedSharding(mesh, P(axis))
-        put = lambda a: jax.device_put(a, sharding)
+        put = lambda a: (a if isinstance(a, jax.Array)
+                         else jax.device_put(a, sharding))
         nnz = int(np.count_nonzero(dia_vals)) + offd_nnz
         dummy = np.zeros((nparts, row_pad, 1), dtype)
         return ShardedMatrix(
@@ -504,13 +523,14 @@ class ShardedMatrix:
         return self.diag.reshape(self.padded_nrows)
 
 
-def _build_offd_and_halo(nparts, row_pad, row_counts, col_offsets,
-                         offd_parts, dtype, ell_align):
+def _build_offd_and_halo(mesh, axis, nparts, row_pad, row_counts,
+                         col_offsets, offd_parts, dtype, ell_align):
     """Shared offd-ELL + halo-plan construction.
 
     offd_parts: per shard (local_rows, global_cols, vals) of off-owner
     entries.  Returns (ovals, ocols, send_idx, ghost_slot, total_offd_nnz)
-    with ocols indexing each shard's sorted ghost list.
+    with ocols indexing each shard's sorted ghost list; ovals/ocols are
+    device arrays (materialized sharded), the plan arrays host.
     """
     ghost_lists = []
     local_offd = []
@@ -550,24 +570,34 @@ def _build_offd_and_halo(nparts, row_pad, row_counts, col_offsets,
             seg = gl[st[p]:st[p + 1]] - col_offsets[p]
             send_idx[p, q, :seg.size] = seg
 
-    ovals = np.zeros((nparts, row_pad, ko), dtype)
-    ocols = np.zeros((nparts, row_pad, ko), np.int32)
+    o_idx, o_val, o_col = [], [], []
     for p in range(nparts):
-        _ell_fill(ovals[p], ocols[p], *local_offd[p])
+        flat, vo, co = _ell_compact(ko, *local_offd[p])
+        o_idx.append(flat)
+        o_val.append(vo)
+        o_col.append(co)
+    ovals = materialize_sharded(mesh, axis, o_idx, o_val, (row_pad, ko),
+                                dtype)
+    ocols = materialize_sharded(mesh, axis, o_idx, o_col, (row_pad, ko),
+                                np.int32)
     return ovals, ocols, send_idx, ghost_slot, total
 
 
-def _ell_fill(vals_ell, cols_ell, lrows, lcols, vals):
-    """Scatter per-shard COO into ELL (position = rank within row).
-    Entries may be in any order; a stable row sort assigns slots."""
+def _ell_compact(k, lrows, lcols, vals):
+    """Compact ELL staging: flat indices into a (row_pad, k) layout plus
+    row-ordered values/columns (position = rank within row).  Entries may
+    arrive in any order; a stable row sort assigns slots."""
     if lrows.size == 0:
-        return
+        return (np.zeros(0, np.int64), np.zeros(0, vals.dtype),
+                np.zeros(0, np.int32))
     if np.all(lrows[:-1] <= lrows[1:]):      # already row-sorted (CSR path)
-        order = np.arange(lrows.size)
+        lr = lrows
+        vo, co = vals, lcols
     else:
         order = np.argsort(lrows, kind="stable")
-    lr = lrows[order]
-    starts = np.searchsorted(lr, np.arange(vals_ell.shape[0] + 1))
+        lr = lrows[order]
+        vo, co = vals[order], lcols[order]
+    nr = int(lr[-1]) + 1
+    starts = np.searchsorted(lr, np.arange(nr + 1))
     pos = np.arange(lr.size) - starts[lr]
-    vals_ell[lr, pos] = vals[order]
-    cols_ell[lr, pos] = lcols[order].astype(np.int32)
+    return lr * k + pos, vo, co.astype(np.int32)

@@ -7,23 +7,20 @@ import tempfile
 import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "fastio.cpp")
-_LIB = os.path.join(_DIR, "libfastio.so")
 
 _lock = threading.Lock()
-_lib = None
-_tried = False
+_libs: dict = {}
 
 
-def _compile() -> str | None:
+def _compile(src: str, lib_path: str) -> str | None:
     # atomic build: compile to a temp name, rename into place
     fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
     os.close(fd)
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, _LIB)
-        return _LIB
+        os.replace(tmp, lib_path)
+        return lib_path
     except (OSError, subprocess.SubprocessError):
         try:
             os.unlink(tmp)
@@ -32,42 +29,53 @@ def _compile() -> str | None:
         return None
 
 
-def get_lib():
-    """ctypes handle to libfastio, building it on first use; None if the
-    toolchain or source is unavailable (callers fall back to NumPy)."""
-    global _lib, _tried
+def load_native(name: str, configure) -> "ctypes.CDLL | None":
+    """ctypes handle to lib<name>.so built from <name>.cpp on first use;
+    None if the toolchain or source is unavailable (callers fall back to
+    NumPy).  ``configure(lib)`` sets restype/argtypes."""
+    src = os.path.join(_DIR, f"{name}.cpp")
+    lib_path = os.path.join(_DIR, f"lib{name}.so")
     with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
+        if name in _libs:
+            return _libs[name]
+        _libs[name] = None
         # rebuild when the source is newer than the binary (a stale or
         # foreign-arch .so would otherwise be silently preferred)
-        fresh = (os.path.exists(_LIB) and os.path.exists(_SRC)
-                 and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC))
-        path = _LIB if fresh else _compile()
-        if path is None and os.path.exists(_LIB):
-            path = _LIB  # no toolchain: fall back to the existing binary
+        fresh = (os.path.exists(lib_path) and os.path.exists(src)
+                 and os.path.getmtime(lib_path) >= os.path.getmtime(src))
+        path = lib_path if fresh else _compile(src, lib_path)
+        if path is None and os.path.exists(lib_path):
+            path = lib_path  # no toolchain: fall back to the existing binary
         if path is None:
             return None
         try:
             lib = ctypes.CDLL(path)
-        except OSError:
+            configure(lib)
+        except (OSError, AttributeError):
             return None
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        f64p = ctypes.POINTER(ctypes.c_double)
-        lib.fastio_parse_triplets.restype = ctypes.c_int64
-        lib.fastio_parse_triplets.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
-            i64p, i64p, f64p, f64p]
-        lib.fastio_parse_pairs.restype = ctypes.c_int64
-        lib.fastio_parse_pairs.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i64p, f64p]
-        lib.fastio_parse_floats.restype = ctypes.c_int64
-        lib.fastio_parse_floats.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
-            f64p, f64p]
-        _lib = lib
-        return _lib
+        _libs[name] = lib
+        return lib
+
+
+def _configure_fastio(lib):
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.fastio_parse_triplets.restype = ctypes.c_int64
+    lib.fastio_parse_triplets.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        i64p, i64p, f64p, f64p]
+    lib.fastio_parse_pairs.restype = ctypes.c_int64
+    lib.fastio_parse_pairs.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i64p, f64p]
+    lib.fastio_parse_floats.restype = ctypes.c_int64
+    lib.fastio_parse_floats.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        f64p, f64p]
+
+
+def get_lib():
+    """The fastio parser library (legacy accessor)."""
+    return load_native("fastio", _configure_fastio)
 
 
 def available() -> bool:

@@ -1,0 +1,179 @@
+"""Python bindings for the native sparse setup kernels (spkernels.cpp).
+
+Used by the AMG setup path (interpolation weights, Galerkin RAP) — the
+host-side analog of the work HYPRE_BoomerAMGSetup performs natively in the
+reference (driven at src/HypreSystem.cpp:692).  Callers keep NumPy/scipy
+fallbacks; everything here is optional.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+import scipy.sparse as sp
+
+from tpusolve.native.build import load_native
+
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_f64p = ctypes.POINTER(ctypes.c_double)
+
+
+def _configure(lib):
+    lib.sk_masked_abt.restype = None
+    lib.sk_masked_abt.argtypes = [
+        ctypes.c_int32, ctypes.c_int32,
+        _i32p, _i32p, _f64p, _i32p, _i32p, _f64p, _i32p, _i32p, _f64p]
+    lib.sk_spgemm_count.restype = ctypes.c_int64
+    lib.sk_spgemm_count.argtypes = [
+        ctypes.c_int32, ctypes.c_int32,
+        _i32p, _i32p, _i32p, _i32p, _i32p]
+    lib.sk_spgemm.restype = None
+    lib.sk_spgemm.argtypes = [
+        ctypes.c_int32, ctypes.c_int32,
+        _i32p, _i32p, _f64p, _i32p, _i32p, _f64p, _i32p, _i32p, _f64p]
+    lib.sk_masked_ab.restype = None
+    lib.sk_masked_ab.argtypes = [
+        ctypes.c_int32, ctypes.c_int32,
+        _i32p, _i32p, _f64p, _i32p, _i32p, _f64p, _i32p, _i32p, _f64p]
+    lib.sk_sampled_at.restype = None
+    lib.sk_sampled_at.argtypes = [
+        ctypes.c_int32, _i32p, _i32p, _f64p, _i32p, _i32p, _f64p]
+
+
+def _lib():
+    return load_native("spkernels", _configure)
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def _as_i32(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def _as_f64(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.float64)
+
+
+def _ptr(a, typ):
+    return a.ctypes.data_as(typ)
+
+
+def _csr_args(M: sp.csr_matrix):
+    return (_as_i32(M.indptr), _as_i32(M.indices), _as_f64(M.data))
+
+
+_I32_MAX = 2**31 - 1
+
+
+def _fits(*mats) -> bool:
+    return all(m.nnz <= _I32_MAX and max(m.shape) <= _I32_MAX for m in mats)
+
+
+def masked_abt(A: sp.csr_matrix, B: sp.csr_matrix,
+               Pat: sp.csr_matrix) -> np.ndarray | None:
+    """out[e] = sum_m A[i, m] * B[k, m] for each stored entry e = (i, k) of
+    ``Pat`` (rows of A dotted with rows of B, sampled at Pat's pattern).
+    Returns values aligned 1:1 with Pat.data, or None if the native library
+    is unavailable."""
+    lib = _lib()
+    if lib is None or not _fits(A, B, Pat):
+        return None
+    A = A.tocsr()
+    B = B.tocsr()
+    Pat = Pat.tocsr()
+    n, m = A.shape
+    assert B.shape[1] == m and Pat.shape[0] == n
+    Ap, Aj, Ax = _csr_args(A)
+    Bp, Bj, Bx = _csr_args(B)
+    Pp, Pj, _ = _csr_args(Pat)
+    out = np.zeros(Pat.nnz, np.float64)
+    lib.sk_masked_abt(
+        np.int32(n), np.int32(m),
+        _ptr(Ap, _i32p), _ptr(Aj, _i32p), _ptr(Ax, _f64p),
+        _ptr(Bp, _i32p), _ptr(Bj, _i32p), _ptr(Bx, _f64p),
+        _ptr(Pp, _i32p), _ptr(Pj, _i32p), _ptr(out, _f64p))
+    return out
+
+
+def masked_ab(X: sp.csr_matrix, B: sp.csr_matrix,
+              Pat: sp.csr_matrix) -> np.ndarray | None:
+    """out[e] = (X @ B)[i, j] for each stored entry e = (i, j) of ``Pat``
+    — the no-transpose form of the sampled product.  Returns values aligned
+    1:1 with Pat.data, or None if the native library is unavailable."""
+    lib = _lib()
+    if lib is None or not _fits(X, B, Pat):
+        return None
+    X = X.tocsr()
+    B = B.tocsr()
+    Pat = Pat.tocsr()
+    n, k = X.shape
+    assert B.shape[0] == k and Pat.shape[0] == n
+    m = max(B.shape[1], Pat.shape[1])
+    Xp, Xj, Xx = _csr_args(X)
+    Bp, Bj, Bx = _csr_args(B)
+    Pp, Pj, _ = _csr_args(Pat)
+    out = np.zeros(Pat.nnz, np.float64)
+    lib.sk_masked_ab(
+        np.int32(n), np.int32(m),
+        _ptr(Xp, _i32p), _ptr(Xj, _i32p), _ptr(Xx, _f64p),
+        _ptr(Bp, _i32p), _ptr(Bj, _i32p), _ptr(Bx, _f64p),
+        _ptr(Pp, _i32p), _ptr(Pj, _i32p), _ptr(out, _f64p))
+    return out
+
+
+def sampled_transpose(B: sp.csr_matrix, Pat: sp.csr_matrix) -> np.ndarray | None:
+    """out[e] = B[j, i] for each stored entry e = (i, j) of ``Pat`` (the
+    values of B^T sampled at Pat's pattern).  B's rows must have sorted
+    column indices.  Returns values aligned 1:1 with Pat.data, or None if
+    the native library is unavailable."""
+    lib = _lib()
+    if lib is None or not _fits(B, Pat):
+        return None
+    B = B.tocsr()
+    if not B.has_sorted_indices:
+        B.sort_indices()
+    Pat = Pat.tocsr()
+    n = Pat.shape[0]
+    Bp, Bj, Bx = _csr_args(B)
+    Pp, Pj, _ = _csr_args(Pat)
+    out = np.zeros(Pat.nnz, np.float64)
+    lib.sk_sampled_at(
+        np.int32(n),
+        _ptr(Bp, _i32p), _ptr(Bj, _i32p), _ptr(Bx, _f64p),
+        _ptr(Pp, _i32p), _ptr(Pj, _i32p), _ptr(out, _f64p))
+    return out
+
+
+def spgemm(A: sp.csr_matrix, B: sp.csr_matrix) -> sp.csr_matrix | None:
+    """C = A @ B via two-pass Gustavson; row columns sorted.  None if the
+    native library is unavailable."""
+    lib = _lib()
+    if lib is None or not _fits(A, B):
+        return None
+    A = A.tocsr()
+    B = B.tocsr()
+    n, k = A.shape
+    k2, m = B.shape
+    assert k == k2
+    Ap, Aj, Ax = _csr_args(A)
+    Bp, Bj, Bx = _csr_args(B)
+    Cp = np.zeros(n + 1, np.int32)
+    nnz = lib.sk_spgemm_count(
+        np.int32(n), np.int32(m),
+        _ptr(Ap, _i32p), _ptr(Aj, _i32p),
+        _ptr(Bp, _i32p), _ptr(Bj, _i32p), _ptr(Cp, _i32p))
+    if nnz > _I32_MAX:
+        return None
+    Cj = np.zeros(nnz, np.int32)
+    Cx = np.zeros(nnz, np.float64)
+    lib.sk_spgemm(
+        np.int32(n), np.int32(m),
+        _ptr(Ap, _i32p), _ptr(Aj, _i32p), _ptr(Ax, _f64p),
+        _ptr(Bp, _i32p), _ptr(Bj, _i32p), _ptr(Bx, _f64p),
+        _ptr(Cp, _i32p), _ptr(Cj, _i32p), _ptr(Cx, _f64p))
+    out = sp.csr_matrix((Cx, Cj, Cp), shape=(n, m))
+    out.has_sorted_indices = True
+    return out

@@ -1,0 +1,168 @@
+// spkernels — native sparse setup kernels for the AMG/ILU setup phase.
+//
+// The reference delegates its AMG setup (strength -> coarsen -> interp ->
+// Galerkin RAP) to HYPRE's native C implementation inside
+// HYPRE_BoomerAMGSetup (driven at src/HypreSystem.cpp:692); the TPU rebuild
+// keeps setup on the host (cycling runs on device) and uses these kernels
+// for the two operations that dominate it:
+//
+//  * masked A.B^T products (SDDMM): interpolation weights need
+//    d_ik = sum_m A[i,m] B[k,m] only at a fixed sparse pattern — computing
+//    the full distance-2 product and then restricting it (the scipy
+//    formulation) materializes ~nnz * row_width intermediate entries and
+//    dominated setup profiles.
+//  * CSR SpGEMM (Gustavson, two-pass): A@P and P^T@(AP) for the Galerkin
+//    triple product.
+//
+// Pure C++17, no dependencies; int32 indices/indptr (nnz < 2^31 — matches
+// scipy's automatic index width below that bound), float64 values.
+// Compiled on demand by tpusolve/native/build.py; NumPy/scipy fallbacks
+// remain in the callers.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+using i32 = int32_t;
+using i64 = int64_t;
+
+extern "C" {
+
+// out[e] = sum_m A[i,m] * B[k,m]  for each pattern entry e: row i, col k of
+// (Pp, Pj).  A is (n x m), B is (nk x m) — rows of A dotted with rows of B.
+// Dense stamped accumulator over A's row, then one pass over each B row.
+void sk_masked_abt(i32 n, i32 m,
+                   const i32* Ap, const i32* Aj, const double* Ax,
+                   const i32* Bp, const i32* Bj, const double* Bx,
+                   const i32* Pp, const i32* Pj, double* out) {
+    std::vector<double> acc(static_cast<size_t>(m), 0.0);
+    std::vector<i32> stamp(static_cast<size_t>(m), -1);
+    i64 e = 0;
+    for (i32 i = 0; i < n; ++i) {
+        if (Pp[i] == Pp[i + 1]) continue;
+        for (i32 t = Ap[i]; t < Ap[i + 1]; ++t) {
+            acc[Aj[t]] = Ax[t];
+            stamp[Aj[t]] = i;
+        }
+        for (i32 p = Pp[i]; p < Pp[i + 1]; ++p) {
+            const i32 k = Pj[p];
+            double s = 0.0;
+            for (i32 t = Bp[k]; t < Bp[k + 1]; ++t) {
+                const i32 col = Bj[t];
+                if (stamp[col] == i) s += acc[col] * Bx[t];
+            }
+            out[e++] = s;
+        }
+    }
+}
+
+// Symbolic SpGEMM: fills Cp (size n+1) with the row pointer of C = A@B.
+// Returns nnz(C).  A: (n x k), B: (k x m).
+i64 sk_spgemm_count(i32 n, i32 m,
+                    const i32* Ap, const i32* Aj,
+                    const i32* Bp, const i32* Bj,
+                    i32* Cp) {
+    std::vector<i32> stamp(static_cast<size_t>(m), -1);
+    i64 nnz = 0;
+    Cp[0] = 0;
+    for (i32 i = 0; i < n; ++i) {
+        i64 row = 0;
+        for (i32 t = Ap[i]; t < Ap[i + 1]; ++t) {
+            const i32 j = Aj[t];
+            for (i32 u = Bp[j]; u < Bp[j + 1]; ++u) {
+                const i32 col = Bj[u];
+                if (stamp[col] != i) {
+                    stamp[col] = i;
+                    ++row;
+                }
+            }
+        }
+        nnz += row;
+        Cp[i + 1] = static_cast<i32>(nnz);
+    }
+    return nnz;
+}
+
+// Numeric SpGEMM with precomputed Cp: fills Cj/Cx; each row's columns are
+// emitted sorted ascending (downstream code key-sorts rows).
+void sk_spgemm(i32 n, i32 m,
+               const i32* Ap, const i32* Aj, const double* Ax,
+               const i32* Bp, const i32* Bj, const double* Bx,
+               const i32* Cp, i32* Cj, double* Cx) {
+    std::vector<double> acc(static_cast<size_t>(m), 0.0);
+    std::vector<i32> stamp(static_cast<size_t>(m), -1);
+    std::vector<i32> cols;
+    cols.reserve(256);
+    for (i32 i = 0; i < n; ++i) {
+        cols.clear();
+        for (i32 t = Ap[i]; t < Ap[i + 1]; ++t) {
+            const i32 j = Aj[t];
+            const double a = Ax[t];
+            for (i32 u = Bp[j]; u < Bp[j + 1]; ++u) {
+                const i32 col = Bj[u];
+                if (stamp[col] != i) {
+                    stamp[col] = i;
+                    acc[col] = a * Bx[u];
+                    cols.push_back(col);
+                } else {
+                    acc[col] += a * Bx[u];
+                }
+            }
+        }
+        std::sort(cols.begin(), cols.end());
+        i32 w = Cp[i];
+        for (const i32 col : cols) {
+            Cj[w] = col;
+            Cx[w] = acc[col];
+            ++w;
+        }
+    }
+}
+
+// out[e] = sum_k X[i,k] * B[k,j]  for each pattern entry e: row i, col j of
+// (Pp, Pj) — the A@B form of the sampled product (no transpose needed).
+// Per row: stamp the pattern columns with their output slots, then stream
+// X's row and each touched B row once.
+void sk_masked_ab(i32 n, i32 m,
+                  const i32* Xp, const i32* Xj, const double* Xx,
+                  const i32* Bp, const i32* Bj, const double* Bx,
+                  const i32* Pp, const i32* Pj, double* out) {
+    std::vector<i32> slot(static_cast<size_t>(m), 0);
+    std::vector<i32> stamp(static_cast<size_t>(m), -1);
+    for (i32 i = 0; i < n; ++i) {
+        if (Pp[i] == Pp[i + 1]) continue;
+        for (i32 e = Pp[i]; e < Pp[i + 1]; ++e) {
+            slot[Pj[e]] = e;
+            stamp[Pj[e]] = i;
+            out[e] = 0.0;
+        }
+        for (i32 t = Xp[i]; t < Xp[i + 1]; ++t) {
+            const i32 k = Xj[t];
+            const double xv = Xx[t];
+            for (i32 u = Bp[k]; u < Bp[k + 1]; ++u) {
+                const i32 col = Bj[u];
+                if (stamp[col] == i) out[slot[col]] += xv * Bx[u];
+            }
+        }
+    }
+}
+
+// out[e] = B[j, i] for each pattern entry e: row i, col j of (Pp, Pj) —
+// a sampled transpose (B's rows are sorted: binary search).
+void sk_sampled_at(i32 n,
+                   const i32* Bp, const i32* Bj, const double* Bx,
+                   const i32* Pp, const i32* Pj, double* out) {
+    for (i32 i = 0; i < n; ++i) {
+        for (i32 e = Pp[i]; e < Pp[i + 1]; ++e) {
+            const i32 j = Pj[e];
+            const i32* lo = Bj + Bp[j];
+            const i32* hi = Bj + Bp[j + 1];
+            const i32* it = std::lower_bound(lo, hi, i);
+            out[e] = (it != hi && *it == i) ? Bx[Bp[j] + (it - (Bj + Bp[j]))]
+                                            : 0.0;
+        }
+    }
+}
+
+}  // extern "C"
