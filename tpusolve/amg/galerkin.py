@@ -25,6 +25,9 @@ def rap(A: sp.csr_matrix, P: sp.csr_matrix) -> sp.csr_matrix:
     AP = _spgemm(A.tocsr(), P.tocsr())
     Ac = _spgemm(P.T.tocsr(), AP)
     Ac.sum_duplicates()
+    # drop exact cancellations (stencil RAP produces them in droves) — the
+    # DIA-algebra structured path stores only true nonzeros, keep parity
+    Ac.eliminate_zeros()
     return Ac
 
 
