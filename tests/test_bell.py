@@ -79,7 +79,7 @@ class TestBellSharded:
         rows, cols, vals = _banded_unstructured(rng, n)
         assert rows.size >= BELL_MIN_NNZ
         A = ShardedMatrix.from_coo(mesh, (n, n), rows, cols, vals,
-                                   dtype=np.float64)
+                                   dtype=np.float64, allow_bdia=False)
         assert A.uses_bell and not A.uses_dia
         As = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
         x = rng.standard_normal(n)
@@ -92,7 +92,7 @@ class TestBellSharded:
         n = 4003
         rows, cols, vals = _banded_unstructured(rng, n)
         A = ShardedMatrix.from_coo(mesh8, (n, n), rows, cols, vals,
-                                   dtype=np.float64)
+                                   dtype=np.float64, allow_bdia=False)
         assert A.uses_bell
         As = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).toarray()
         np.testing.assert_allclose(A.to_scipy().toarray(), As,
@@ -102,7 +102,7 @@ class TestBellSharded:
         n = 4003
         rows, cols, vals = _banded_unstructured(rng, n)
         A = ShardedMatrix.from_coo(mesh8, (n, n), rows, cols, vals,
-                                   dtype=np.float64)
+                                   dtype=np.float64, allow_bdia=False)
         A32 = A.astype(np.float32)
         assert A32.uses_bell and A32.bell_vals.dtype == np.float32
 
@@ -110,7 +110,8 @@ class TestBellSharded:
         n = 4003
         rows, cols, vals = _banded_unstructured(rng, n)
         A = ShardedMatrix.from_coo(mesh8, (n, n), rows, cols, vals,
-                                   dtype=np.float64, allow_bell=False)
+                                   dtype=np.float64, allow_bell=False,
+                                   allow_bdia=False)
         assert not A.uses_bell
         As = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
         x = rng.standard_normal(n)

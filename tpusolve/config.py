@@ -82,6 +82,7 @@ class SolverConfig:
     # path (else padded-ELL gather everywhere)
     spmv_use_dia: bool = True
     spmv_use_bell: bool = True
+    spmv_use_bdia: bool = True
     # keep the preconditioner/solver across the num_tests loop (key present
     # in the reference's yaml surface, etc/hypre_app.yaml:21)
     reuse_preconditioner: bool = False

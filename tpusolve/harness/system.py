@@ -135,10 +135,11 @@ class LinearSystem:
         with self.timers.span("Assemble system"):
             allow_dia = self.config.solver.spmv_use_dia
             allow_bell = self.config.solver.spmv_use_bell
+            allow_bdia = self.config.solver.spmv_use_bdia
             self.A = ShardedMatrix.from_coo(
                 self.mesh, (n, n), rows, cols, vals, dtype=self.dtype,
                 row_offsets=offsets, allow_dia=allow_dia,
-                allow_bell=allow_bell)
+                allow_bell=allow_bell, allow_bdia=allow_bdia)
             if self.precision == "mixed":
                 # f32 twin by device-side cast — not a second assembly
                 self.A_lo = self.A.astype(np.float32)

@@ -49,8 +49,35 @@ BELL, Pallas kernel (x in VMEM, SMEM ids, streamed)     5.23 ms
 * Effective bandwidth is set by tile fill: 18 GB/s at 2.3% fill here;
   denser (multi-dof / reordered) matrices scale proportionally.
 
+Round 2 (cont.) added the **BDIA blocked-DIA fast path** (bdia.py) for
+banded/RCM-ordered unstructured matrices, with a Pallas kernel built on
+dynamic-row-start VMEM reads + one dynamic lane rotation per offset slot.
+Measured on v5e (96^3 27-pt graph assembled as unstructured, 0.9M rows /
+23M nnz, DIA disabled):
+
+=====================================================  ============
+formulation                                            effective BW
+=====================================================  ============
+BELL 128-wide windows (K=9, fill 3.4%)                  38   GB/s
+BELL 16-wide packed subwindows (fill 6.9%)              19   GB/s (issue-bound)
+BDIA XLA vmap(dynamic_slice) windows                     1.5 GB/s (element gather)
+BDIA Pallas, R=512                                      48   GB/s
+**BDIA Pallas, R=2048 (shipped)**                      **179 GB/s (21.9% SoL)**
+=====================================================  ============
+
+* ``vmap(dynamic_slice)`` lowers to an element gather — contiguous window
+  reads must be expressed *inside* a Pallas kernel to run at stream rate.
+* Narrow (sub-128) tiles lose even when they cut bytes 2-3x: VPU issue
+  cost is per-*op*, so (8,16) mini-ops run ~4x slower than their byte
+  footprint.  Full-width ops on bigger blocks (R=2048) amortize the
+  per-slot overhead (measured ~87 ns/slot at R=512).
+* Assembly-time selection (matrix/sharded.py) picks DIA -> BDIA -> BELL ->
+  ELL by a calibrated time model (bdia.model_time_s); scattered patterns
+  (uniform jitter) correctly fall back to BELL.
+
 Remaining Pallas candidates for future rounds (kept here as the workspace):
 fused SpMV+dot for PCG (saves one vector read per iteration), halo exchange
-via ``make_async_remote_copy`` overlapping the interior DIA sweep, and
-sub-tiled BELL (4x32-column sub-windows per physical tile) to raise fill.
+via ``make_async_remote_copy`` overlapping the interior DIA sweep, BDIA
+per-block overflow lists (boundary rows currently inflate the uniform D),
+and bf16 coefficient streams (2x bytes) for smoother/preconditioner SpMVs.
 """

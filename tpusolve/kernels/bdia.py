@@ -1,0 +1,227 @@
+"""BDIA (blocked-DIA) — the unstructured-SpMV fast path for banded matrices.
+
+The role the reference fills with vendor SpMV on its file-loaded nalu-wind
+systems (toggle ref: src/main.cpp:137-145; readers src/HypreSystem.cpp:
+1021-1969): those matrices are unstructured, but after bandwidth-reducing
+(RCM) ordering their entries hug the diagonal — *almost* DIA, except the
+offset set drifts from row to row, so global DIA storage explodes.
+
+BDIA localizes DIA: rows are cut into blocks of ``R`` (default 256); each
+block stores the union of its own (col - row) offsets:
+
+* ``vals``:   (B, D, R) — per (block, offset-slot) coefficient rows
+              (zeros in padding; D = max offsets per block, shard-uniform)
+* ``starts``: (B, D) int32 — where each slot's x window begins in the
+              zero-padded local x (start = xpad + b*R + offset)
+
+SpMV is then, per (block, slot), one contiguous (R,)-window read of x and
+one (R,)-wide fused multiply-add:
+
+    y[b*R : (b+1)*R] = sum_d vals[b, d] * x_pad[starts[b, d] : +R]
+
+**Zero per-element gathers.**  The x windows are fetched as B*D contiguous
+1 KB slices (a `vmap`'d ``dynamic_slice`` = ``lax.gather`` with
+``slice_sizes=(R,)``), which TPUs execute at streaming rate, and the
+multiply-reduce is full-lane-width VPU work — unlike narrow-tile schemes,
+which are issue-bound (measured: (8,16) mini-tiles ran 4x slower than
+their byte footprint).  Streamed bytes per SpMV ~ 2 * B*D*R * itemsize
+(vals + windows); effective bandwidth = CSR bytes / streamed bytes x HBM
+rate, set by the *slot fill* nnz / (B*D*R) the ordering provides (natural
+stencil order: 100% = global DIA; RCM'd meshes: tens of percent).
+
+Selection between BDIA and BELL (kernels/bell.py, for clustered-but-
+unbanded patterns) happens at assembly by comparing predicted streamed
+bytes; ``plan`` tries several block sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BLOCK_SIZES = (2048, 1024, 512, 256, 128)  # candidate R values (multiples
+                               # of 128: the kernel works on (R/128, 128)
+                               # tiles; larger R = fewer per-slot overheads)
+
+# calibrated kernel model (v5e measurement: 87 ns/slot at R=512): each
+# (block, offset-slot) costs a fixed scalar/loop overhead plus per-128-row
+# vector work; streaming runs at HBM rate.  Used by layout selection.
+SLOT_FIXED_NS = 40.0
+SLOT_PER_ROW_NS = 12.0     # per rr = R/128
+HBM_GBPS = 819.0
+
+
+def model_time_s(B: int, D: int, R: int, itemsize: int) -> float:
+    """Predicted per-SpMV seconds for a (B, D, R) BDIA layout."""
+    stream = 2.0 * B * D * R * itemsize / (HBM_GBPS * 1e9)
+    issue = B * D * (SLOT_FIXED_NS + SLOT_PER_ROW_NS * R / 128.0) * 1e-9
+    return max(stream, issue)
+
+
+def plan_d(lr, lc, row_pad: int, col_pad: int, R: int) -> int:
+    """Max distinct (col - row) offsets per R-row block for one shard's
+    diag entries (the D this shard needs at block size R)."""
+    if len(lr) == 0:
+        return 0
+    lr = np.asarray(lr, np.int64)
+    d = np.asarray(lc, np.int64) - lr
+    b = lr // R
+    # offsets span [-(row_pad-1), col_pad-1] (rectangular operators too)
+    W = row_pad + col_pad + 1
+    keys = np.unique(b * W + (d + row_pad))
+    B = (row_pad + R - 1) // R
+    return max(1, int(np.bincount(keys // W, minlength=B).max()))
+
+
+def compact(lr, lc, v, row_pad: int, col_pad: int, R: int, dmax: int,
+            dtype=np.float32):
+    """Build one shard's BDIA staging.
+
+    Returns (starts (B, dmax) int32 *relative to unpadded x* (may be
+    negative), flat_idx, vals_ordered) — flat indices into the (B, dmax, R)
+    value array, materialized on device (matrix/build.py)."""
+    B = (row_pad + R - 1) // R
+    dmax = max(dmax, 1)
+    starts = np.full((B, dmax), _SENTINEL, np.int64)
+    lr = np.asarray(lr, np.int64)
+    if lr.size == 0:
+        starts[:] = 0
+        return starts, np.zeros(0, np.int64), np.zeros(0, dtype)
+    d = np.asarray(lc, np.int64) - lr
+    v = np.asarray(v, dtype)
+    b = lr // R
+    W = row_pad + col_pad + 1
+    key = b * W + (d + row_pad)
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    flag = np.empty(key_s.size, bool)
+    flag[0] = True
+    np.not_equal(key_s[1:], key_s[:-1], out=flag[1:])
+    uniq = key_s[flag]
+    slot_of_key = np.cumsum(flag) - 1
+    key_b = uniq // W
+    blk_starts = np.searchsorted(key_b, np.arange(B + 1))
+    slot_in_blk = np.arange(uniq.size) - blk_starts[key_b]
+    if uniq.size and slot_in_blk.max() >= dmax:
+        raise ValueError("dmax too small for this shard")
+    starts[key_b, slot_in_blk] = key_b * R + (uniq % W) - row_pad
+    slot = slot_in_blk[slot_of_key]
+    lro, vo = lr[order], v[order]
+    flat_idx = (lro // R * dmax + slot) * R + lro % R
+    # unused slots: park them on window 0 (vals are zero there)
+    starts[starts == _SENTINEL] = 0
+    return starts, flat_idx, vo
+
+
+_SENTINEL = np.iinfo(np.int64).min // 2
+
+
+def finalize_starts(starts: np.ndarray, col_pad: int, R: int):
+    """Shift per-shard window starts into the zero-padded x coordinate
+    system.  Returns (starts_adj int32, xpad_lo, xlen)."""
+    lo = int(min(0, starts.min()))
+    hi = int(max(col_pad, starts.max() + R))
+    xpad_lo = -lo
+    xlen = xpad_lo + hi
+    return (starts + xpad_lo).astype(np.int32), xpad_lo, xlen
+
+
+def bdia_spmv_local(vals, starts, x, xpad_lo: int, xlen: int, row_pad: int):
+    """Reference/XLA formulation (CPU tests): window reads via vmap'd
+    dynamic_slice.  XLA lowers this to an element gather — use the pallas
+    kernel on TPU (selected in matrix/spmv.py)."""
+    B, D, R = vals.shape
+    xp = jnp.pad(x, (xpad_lo, max(0, xlen - xpad_lo - x.shape[0])))
+    win = jax.vmap(lambda s: lax.dynamic_slice(xp, (s,), (R,)))(
+        starts.reshape(-1))
+    win = win.reshape(B, D, R)
+    y = jnp.sum(vals * win, axis=1)
+    return y.reshape(-1)[:row_pad]
+
+
+try:  # pallas import kept optional: CPU test environments lack Mosaic
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+LANE = 128
+
+
+# R-row blocks processed per pallas grid step (SMEM/VMEM block shapes need
+# a sublane-divisible leading dim)
+_PALLAS_GB = 8
+
+
+def _bdia_kernel(starts_ref, x2d_ref, vals_ref, out_ref, *, d: int, rr: int,
+                 gb: int):
+    """One grid step = ``gb`` R-row blocks (R = rr * 128).
+
+    Per offset slot: one dynamic-row-start (rr+1, 128) read of x from VMEM,
+    one dynamic lane rotation (pltpu.roll) to align the window start, a
+    two-way select for the sublane carry, and a full-width FMA.  The vals
+    stream (B, D, R) is the only HBM traffic, double-buffered by the grid
+    pipeline; zero per-element gathers anywhere."""
+    def block(g, _):
+        def slot(dd, acc):
+            s = starts_ref[g, dd]
+            # starts are non-negative: truncated lax.div/rem avoid jnp's
+            # sign-correction ops (whose pvary has no Pallas lowering)
+            lane = jnp.int32(LANE)
+            row = lax.div(s, lane)
+            rem = lax.rem(s, lane)
+            seg = x2d_ref[pl.ds(row, rr + 1), :]          # (rr+1, 128)
+            rot = pltpu.roll(seg, lax.rem(lane - rem, lane), 1)
+            lanes = lax.broadcasted_iota(jnp.int32, (rr, LANE), 1)
+            win = jnp.where(lanes < LANE - rem, rot[:rr], rot[1:rr + 1])
+            v = vals_ref[g, dd].reshape(rr, LANE)
+            return acc + v * win
+        acc = lax.fori_loop(0, d, slot,
+                            jnp.zeros((rr, LANE), vals_ref.dtype))
+        out_ref[g] = acc.reshape(-1)
+        return _
+
+    lax.fori_loop(0, gb, block, None)
+
+
+def bdia_spmv_pallas(vals, starts, x, xpad_lo: int, xlen: int, row_pad: int,
+                     interpret: bool = False, vma=None):
+    """Pallas formulation: x whole in VMEM (as a (rows, 128) matrix), the
+    per-block coefficient slabs streamed from HBM."""
+    if not HAVE_PALLAS:  # pragma: no cover
+        return bdia_spmv_local(vals, starts, x, xpad_lo, xlen, row_pad)
+    B, D, R = vals.shape
+    rr = R // LANE
+    gb = _PALLAS_GB
+    Bp = ((B + gb - 1) // gb) * gb
+    if Bp != B:
+        # extra blocks carry zero vals and window-0 starts — harmless reads
+        vals = jnp.pad(vals, ((0, Bp - B), (0, 0), (0, 0)))
+        starts = jnp.pad(starts, ((0, Bp - B), (0, 0)))
+    xp = jnp.pad(x, (xpad_lo, max(0, xlen - xpad_lo - x.shape[0])))
+    # pad up to whole lanes plus rr+1 guard rows for the widest read
+    xrows = (xp.shape[0] + LANE - 1) // LANE + rr + 1
+    xp = jnp.pad(xp, (0, xrows * LANE - xp.shape[0]))
+    x2d = xp.reshape(xrows, LANE)
+    y = pl.pallas_call(
+        functools.partial(_bdia_kernel, d=D, rr=rr, gb=gb),
+        grid=(Bp // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, D), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),      # window starts
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # x2d whole
+            pl.BlockSpec((gb, D, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),      # coefficient stream
+        ],
+        out_specs=pl.BlockSpec((gb, R), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, R), vals.dtype,
+                                       vma=frozenset(vma) if vma else None),
+        interpret=interpret,
+    )(starts, x2d, vals)
+    return y.reshape(-1)[:row_pad]

@@ -75,6 +75,8 @@ class ShardedMatrix:
     dia_vals: jax.Array | None  # (Pn, D, R) or (Pn, D, *dia_shape)
     bell_vals: jax.Array | None  # (Pn, G, K, 8, 128) dense tiles
     bell_ids: jax.Array | None   # (Pn, G, K) int32 column-window ids
+    bdia_vals: jax.Array | None   # (Pn, B, D, R) blocked-DIA rows
+    bdia_starts: jax.Array | None  # (Pn, B, D) int32 x-window starts
     offd_vals: jax.Array   # (Pn, R, Ko) float
     offd_cols: jax.Array   # (Pn, R, Ko) int32, ghost slot index
     send_idx: jax.Array    # (Pn, Pn, S) int32, local x-indices sent to peer q
@@ -93,6 +95,9 @@ class ShardedMatrix:
     # SpMV (~speed-of-light); None -> 1-D slicing.
     dia_shape: tuple | None = dataclasses.field(metadata=dict(static=True))
     bell_nwin: int | None = dataclasses.field(metadata=dict(static=True))
+    bdia_block: int | None = dataclasses.field(metadata=dict(static=True))
+    bdia_xpad: int | None = dataclasses.field(metadata=dict(static=True))
+    bdia_xlen: int | None = dataclasses.field(metadata=dict(static=True))
     has_offd: bool = dataclasses.field(metadata=dict(static=True))
     mesh: jax.sharding.Mesh = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
@@ -127,12 +132,17 @@ class ShardedMatrix:
     def uses_bell(self) -> bool:
         return self.bell_vals is not None
 
+    @property
+    def uses_bdia(self) -> bool:
+        return self.bdia_vals is not None
+
     # ------------------------------------------------------------------
     @staticmethod
     def from_coo(mesh, shape, rows, cols, vals, *, dtype=None, dedup="add",
                  row_offsets=None, col_offsets=None, axis: str = ROWS_AXIS,
                  ell_align: int = 1, allow_dia: bool = True,
-                 allow_bell: bool = True, dia_shape=None):
+                 allow_bell: bool = True, allow_bdia: bool = True,
+                 dia_shape=None):
         """Assemble a global COO into the sharded format.
 
         Implements the full IJ ``SetValues/AddToValues + Assemble`` pipeline
@@ -161,12 +171,14 @@ class ShardedMatrix:
         return ShardedMatrix.from_local_parts(
             mesh, shape, parts, dtype=dtype, row_offsets=row_offsets,
             col_offsets=col_offsets, axis=axis, ell_align=ell_align,
-            allow_dia=allow_dia, allow_bell=allow_bell, dia_shape=dia_shape)
+            allow_dia=allow_dia, allow_bell=allow_bell,
+            allow_bdia=allow_bdia, dia_shape=dia_shape)
 
     @staticmethod
     def from_csr_host(mesh, M, *, dtype=None, row_offsets=None,
                       col_offsets=None, axis: str = ROWS_AXIS,
-                      allow_dia: bool = True, allow_bell: bool = True):
+                      allow_dia: bool = True, allow_bell: bool = True,
+                      allow_bdia: bool = True):
         """Shard a host CSR directly: row blocks are contiguous indptr
         slices, already row-sorted — no global COO sort.  This is the fast
         path for AMG-setup products (P, R, Galerkin coarse operators),
@@ -187,13 +199,14 @@ class ShardedMatrix:
         return ShardedMatrix.from_local_parts(
             mesh, M.shape, parts, dtype=dtype, row_offsets=row_offsets,
             col_offsets=col_offsets, axis=axis, allow_dia=allow_dia,
-            allow_bell=allow_bell)
+            allow_bell=allow_bell, allow_bdia=allow_bdia)
 
     @staticmethod
     def from_local_parts(mesh, shape, parts, *, dtype=None, row_offsets=None,
                          col_offsets=None, axis: str = ROWS_AXIS,
                          ell_align: int = 1, allow_dia: bool = True,
-                         allow_bell: bool = True, dia_shape=None):
+                         allow_bell: bool = True, allow_bdia: bool = True,
+                         dia_shape=None):
         # dia_shape: caller-guaranteed box-consistent 2-D/3-D view of each
         # shard's row space (see class docstring); ignored unless DIA is
         # selected and the product matches the padded shard size.
@@ -264,16 +277,48 @@ class ShardedMatrix:
             mesh, axis, nparts, row_pad, row_counts, col_offsets, offd_parts,
             dtype, ell_align)
 
-        # --- diag block: DIA, BELL, or ELL ---
+        # --- diag block: DIA, BDIA, BELL, or ELL ---
+        # BDIA (blocked-DIA, kernels/bdia.py) and BELL (dense lane tiles,
+        # kernels/bell.py) compete on *modeled per-SpMV seconds* (v5e
+        # calibration): BDIA streams vals + equal-size x windows but pays a
+        # per-offset-slot issue cost; BELL streams its tiles at the
+        # measured ~550 GB/s with negligible issue overhead.
         use_bell = False
-        if not use_dia and allow_bell and total_diag_nnz >= BELL_MIN_NNZ:
-            from tpusolve.kernels import bell as bell_mod
-            bk = max((bell_mod.bell_plan_k(dp[0], dp[1], row_pad)
-                      for dp in diag_parts), default=0)
-            G = bell_mod._ngroups(row_pad)
-            tile_bytes = nparts * G * bk * bell_mod.TM * bell_mod.TN * \
-                np.dtype(dtype).itemsize
-            use_bell = bk > 0 and tile_bytes <= BELL_MAX_BYTES
+        use_bdia = False
+        bdia_R = bdia_D = 0
+        itemsize = np.dtype(dtype).itemsize
+        if not use_dia and total_diag_nnz >= BELL_MIN_NNZ:
+            bell_time = bdia_time = float("inf")
+            if allow_bell:
+                from tpusolve.kernels import bell as bell_mod
+                bk = max((bell_mod.bell_plan_k(dp[0], dp[1], row_pad)
+                          for dp in diag_parts), default=0)
+                G = bell_mod._ngroups(row_pad)
+                tile_bytes = nparts * G * bk * bell_mod.TM * bell_mod.TN * \
+                    itemsize
+                if bk > 0 and tile_bytes <= BELL_MAX_BYTES:
+                    bell_time = 1.125 * tile_bytes / (550e9 * nparts)
+            # BDIA's pallas kernel holds the local x in VMEM (~16 MB/core)
+            if allow_bdia and col_pad * itemsize <= (12 << 20):
+                from tpusolve.kernels import bdia as bdia_mod
+                for R in bdia_mod.BLOCK_SIZES:
+                    D = max((bdia_mod.plan_d(dp[0], dp[1], row_pad,
+                                             col_pad, R)
+                             for dp in diag_parts), default=0)
+                    B = (row_pad + R - 1) // R
+                    nbytes = nparts * B * D * R * itemsize
+                    # grid-step VMEM: gb blocks of (D, R) double-buffered
+                    vmem_ok = 8 * D * R * itemsize * 2 <= (8 << 20)
+                    if D <= 0 or nbytes > BELL_MAX_BYTES or not vmem_ok:
+                        continue
+                    t = bdia_mod.model_time_s(B, D, R, itemsize)
+                    if t < bdia_time:
+                        bdia_time = t
+                        bdia_R, bdia_D = R, D
+            if bdia_time <= bell_time and bdia_time < float("inf"):
+                use_bdia = True
+            elif bell_time < float("inf"):
+                use_bell = True
 
         if use_bell:
             from tpusolve.kernels import bell as bell_mod
@@ -296,6 +341,32 @@ class ShardedMatrix:
         else:
             bvals = bids = None
             bell_nwin = None
+        if use_bdia:
+            from tpusolve.kernels import bdia as bdia_mod
+            Bb = (row_pad + bdia_R - 1) // bdia_R
+            starts_raw = np.zeros((nparts, Bb, bdia_D), np.int64)
+            s_idx, s_val = [], []
+            for p in range(nparts):
+                dlr, dlc, dv = diag_parts[p]
+                starts_raw[p], fi, vo = bdia_mod.compact(
+                    dlr, dlc, dv, row_pad, col_pad, bdia_R, bdia_D,
+                    dtype=dtype)
+                s_idx.append(fi)
+                s_val.append(vo)
+            lo = int(min(0, starts_raw.min()))
+            hi = int(max(col_pad, starts_raw.max() + bdia_R))
+            bdia_xpad = -lo
+            bdia_xlen = bdia_xpad + hi
+            bdia_starts = (starts_raw + bdia_xpad).astype(np.int32)
+            bdia_vals = materialize_sharded(mesh, axis, s_idx, s_val,
+                                            (Bb, bdia_D, bdia_R), dtype)
+            dvals = np.zeros((nparts, row_pad, 1), dtype)
+            dcols = np.zeros((nparts, row_pad, 1), np.int32)
+            kd = 1
+        else:
+            bdia_vals = bdia_starts = None
+            bdia_xpad = bdia_xlen = None
+            bdia_R = None
         if use_dia:
             D = dia_union.size
             d_idx, d_val = [], []
@@ -316,7 +387,7 @@ class ShardedMatrix:
             dvals = np.zeros((nparts, row_pad, 1), dtype)
             dcols = np.zeros((nparts, row_pad, 1), np.int32)
             dia_offsets = tuple(int(o) for o in dia_union)
-        elif use_bell:
+        elif use_bell or use_bdia:
             dia_shape = None
             dia_vals = None
             dia_offsets = None
@@ -362,6 +433,8 @@ class ShardedMatrix:
             dia_vals=put(dia_vals) if use_dia else None,
             bell_vals=put(bvals) if use_bell else None,
             bell_ids=put(bids) if use_bell else None,
+            bdia_vals=put(bdia_vals) if use_bdia else None,
+            bdia_starts=put(bdia_starts) if use_bdia else None,
             offd_vals=put(ovals), offd_cols=put(ocols),
             send_idx=put(send_idx), ghost_slot=put(ghost_slot),
             diag=put(diag_main),
@@ -372,6 +445,7 @@ class ShardedMatrix:
             dia_shape=(tuple(int(v) for v in dia_shape)
                        if dia_shape is not None else None),
             bell_nwin=bell_nwin,
+            bdia_block=bdia_R, bdia_xpad=bdia_xpad, bdia_xlen=bdia_xlen,
             has_offd=offd_nnz > 0,
             mesh=mesh, axis=axis, nnz=nnz)
 
@@ -433,6 +507,7 @@ class ShardedMatrix:
         return ShardedMatrix(
             diag_vals=put(dummy), diag_cols=put(dummy.astype(np.int32)),
             dia_vals=put(dia_vals), bell_vals=None, bell_ids=None,
+            bdia_vals=None, bdia_starts=None,
             offd_vals=put(ovals), offd_cols=put(ocols),
             send_idx=put(send_idx), ghost_slot=put(ghost_slot),
             diag=put(diag_main),
@@ -442,7 +517,8 @@ class ShardedMatrix:
             row_pad=row_pad, col_pad=row_pad, dia_offsets=dia_offsets,
             dia_shape=(tuple(int(v) for v in dia_shape)
                        if dia_shape is not None else None),
-            bell_nwin=None,
+            bell_nwin=None, bdia_block=None, bdia_xpad=None,
+            bdia_xlen=None,
             has_offd=offd_nnz > 0, mesh=mesh, axis=axis, nnz=nnz)
 
     # ------------------------------------------------------------------
@@ -483,6 +559,17 @@ class ShardedMatrix:
                 rows.append(ro[p] + lr[keep])
                 cols.append(co[p] + lc[keep])
                 vals.append(bv[g_i, k_i, r_i, c_i][keep])
+            elif self.uses_bdia:
+                bv = np.asarray(self.bdia_vals)[p]       # (B, D, R)
+                bs = np.asarray(self.bdia_starts)[p]     # (B, D)
+                R = self.bdia_block
+                b_i, d_i, r_i = np.nonzero(bv)
+                lr = b_i * R + r_i
+                lc = bs[b_i, d_i].astype(np.int64) - self.bdia_xpad + r_i
+                keep = lr < nr
+                rows.append(ro[p] + lr[keep])
+                cols.append(co[p] + lc[keep])
+                vals.append(bv[b_i, d_i, r_i][keep])
             else:
                 ev = np.asarray(self.diag_vals)[p]
                 ec = np.asarray(self.diag_cols)[p]
@@ -515,6 +602,7 @@ class ShardedMatrix:
         return dataclasses.replace(
             self, diag_vals=cast(self.diag_vals), dia_vals=cast(self.dia_vals),
             bell_vals=cast(self.bell_vals),
+            bdia_vals=cast(self.bdia_vals),
             offd_vals=cast(self.offd_vals), diag=cast(self.diag))
 
     def diagonal_padded(self) -> jax.Array:

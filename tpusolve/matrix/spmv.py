@@ -145,6 +145,23 @@ def _spmv_shard_dia(axis, offsets, dia_shape, has_offd, dia, ov, oc, sidx,
     return interior(x_loc)
 
 
+def _spmv_shard_bdia(axis, xpad, xlen, row_pad, has_offd, impl, bv, bs, ov,
+                     oc, sidx, gslot, x_loc):
+    from tpusolve.kernels import bdia as bdia_mod
+    bv, bs, ov, oc, sidx, gslot = (a[0] for a in (bv, bs, ov, oc, sidx,
+                                                  gslot))
+    if impl == "pallas":
+        interior = lambda x: bdia_mod.bdia_spmv_pallas(bv, bs, x, xpad,
+                                                       xlen, row_pad,
+                                                       vma=(axis,))
+    else:
+        interior = lambda x: bdia_mod.bdia_spmv_local(bv, bs, x, xpad,
+                                                      xlen, row_pad)
+    if has_offd:
+        return _offd_add(axis, x_loc, interior, ov, oc, sidx, gslot)
+    return interior(x_loc)
+
+
 def _spmv_shard_bell(axis, nwin, row_pad, has_offd, impl, bv, bi, ov, oc,
                      sidx, gslot, x_loc):
     from tpusolve.kernels import bell as bell_mod
@@ -182,6 +199,16 @@ def spmv(A, x):
                     A.has_offd),
             mesh=A.mesh, in_specs=(spec,) * 6, out_specs=spec)
         return fn(A.dia_vals, A.offd_vals, A.offd_cols,
+                  A.send_idx, A.ghost_slot, x)
+    if A.uses_bdia:
+        # lane-rotation pallas kernel on TPU; the XLA window-gather
+        # formulation elsewhere (CPU tests)
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        fn = shard_map(
+            partial(_spmv_shard_bdia, A.axis, A.bdia_xpad, A.bdia_xlen,
+                    A.row_pad, A.has_offd, impl),
+            mesh=A.mesh, in_specs=(spec,) * 7, out_specs=spec)
+        return fn(A.bdia_vals, A.bdia_starts, A.offd_vals, A.offd_cols,
                   A.send_idx, A.ghost_slot, x)
     if A.uses_bell:
         fn = shard_map(
