@@ -10,6 +10,11 @@ the detected device, so >= 1.0 means the target is met.
 Effective bytes per SpMV use the standard sparse accounting: values + column
 indices + input vector + output vector, over the *padded* arrays the kernel
 actually reads (padding rides along in the ELL layout).
+
+``python bench.py --full`` additionally runs the gate-level cases
+(unstructured BDIA SpMV, flagship 64^3 AMG-PCG solve, 128^3 algebraic AMG
+setup) and writes them to BENCH_FULL.json — the repeatable artifact for
+the BASELINE gate metrics.
 """
 
 from __future__ import annotations
@@ -38,6 +43,140 @@ def device_hbm_gbps(kind: str) -> float:
         if key in kind:
             return bw
     return 819.0  # conservative default
+
+
+def _bench_chain(A, x, spmv, n_it=128):
+    """Warm per-SpMV seconds via overhead-calibrated chain timing."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def chain(A, x):
+        def body(_, x):
+            return spmv(A, x) * jnp.float32(1.0 / 52.0)
+        return jnp.sum(jnp.abs(lax.fori_loop(0, n_it, body, x)))
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+
+    float(trivial(x))
+    float(chain(A, x))
+    best = ovh = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(trivial(x))
+        ovh = min(ovh, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(chain(A, x))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - ovh, 1e-9) / n_it
+
+
+def _case_bdia_unstructured(sol: float) -> dict:
+    """Unstructured (clustered-band, DIA-ineligible) SpMV — the nalu-wind
+    file-system profile (readers ref: src/HypreSystem.cpp:1021-1969)."""
+    import numpy as np
+    from tpusolve.mesh import make_mesh
+    from tpusolve.matrix.sharded import ShardedMatrix
+    from tpusolve.matrix.spmv import spmv
+    from tpusolve.matrix.vectors import to_device_vector
+
+    rng = np.random.default_rng(11)
+    n = 884736            # = 96^3
+    rr = np.arange(n, dtype=np.int64)
+    drift = (60 * np.sin(rr / (n / 8.0))).astype(np.int64)
+    rows, cols = [], []
+    for base in (-9216, -96, -1, 0, 1, 96, 9216):
+        for dd in (-1, 0, 1):
+            c = rr + base + drift + dd
+            ok = (c >= 0) & (c < n)
+            rows.append(rr[ok])
+            cols.append(c[ok])
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    key = rows * n + cols
+    _, idx = np.unique(key, return_index=True)
+    rows, cols, vals = rows[idx], cols[idx], vals[idx]
+    A = ShardedMatrix.from_coo(make_mesh(1), (n, n), rows, cols, vals,
+                               dtype=np.float32, allow_dia=False)
+    x = to_device_vector(A.mesh, rng.standard_normal(n),
+                         np.asarray(A.col_offsets), A.col_pad,
+                         dtype=np.float32)
+    t = _bench_chain(A, x, spmv, n_it=64)
+    csr_bytes = rows.size * 8 + 2 * n * 4
+    gbps = csr_bytes / t / 1e9
+    layout = ("bdia" if A.uses_bdia else
+              "bell" if A.uses_bell else "ell")
+    return {"metric": f"spmv_unstructured_{layout}_96^3graph_f32",
+            "value": round(gbps, 2), "unit": "GB/s",
+            "vs_baseline": round(gbps / (0.1 * sol), 4),
+            "note": "target: >=10% of HBM SoL on unstructured"}
+
+
+def _case_flagship_solve() -> dict:
+    """Flagship 64^3 AMG(PFMG)-PCG solve: warm wall time + iterations."""
+    import numpy as np
+    import jax
+    from tpusolve.mesh import make_mesh
+    from tpusolve.stencil import laplace27
+    from tpusolve.config import BoomerAMGConfig
+    from tpusolve.amg.structured import structured_mg_setup_fast
+    from tpusolve.krylov.cg import pcg_setup
+
+    mesh = make_mesh(1)
+    A, b, _, hp = laplace27(mesh, 64, 64, 64, dtype=np.float32,
+                            with_parts=True)
+    t0 = time.perf_counter()
+    pre = structured_mg_setup_fast(A, BoomerAMGConfig(), host_parts=hp)
+    setup_s = time.perf_counter() - t0
+    solve = pcg_setup(A, pre.apply, tol=1e-8, maxiter=100)
+    res = solve(b)
+    jax.block_until_ready(res.x)          # compile + first solve
+    t0 = time.perf_counter()
+    res = solve(b)
+    jax.block_until_ready(res.x)
+    solve_s = time.perf_counter() - t0
+    return {"metric": "flagship_64^3_pfmg_pcg", "value": round(solve_s, 4),
+            "unit": "s_warm_solve", "iters": int(res.iters),
+            "relres": float(res.relres), "setup_s": round(setup_s, 2),
+            "converged": bool(res.converged)}
+
+
+def _case_amg_setup() -> dict:
+    """Algebraic (BoomerAMG-path) setup wall time at 128^3 = 2.1M rows."""
+    import numpy as np
+    from tpusolve.mesh import make_mesh
+    from tpusolve.stencil import laplace27
+    from tpusolve.config import BoomerAMGConfig
+    from tpusolve.amg.builder import boomeramg_setup
+
+    mesh = make_mesh(1)
+    A, b, _, A_host = laplace27(mesh, 128, 128, 128, dtype=np.float32,
+                                with_host=True)
+    t0 = time.perf_counter()
+    pre = boomeramg_setup(A, BoomerAMGConfig(), A_host=A_host)
+    setup_s = time.perf_counter() - t0
+    return {"metric": "boomeramg_setup_128^3_host", "value": round(setup_s, 2),
+            "unit": "s", "levels": pre.num_levels,
+            "note": "round-1 baseline: 841 s"}
+
+
+def run_full(sol: float) -> int:
+    results = []
+    for case in (_case_bdia_unstructured, _case_flagship_solve,
+                 _case_amg_setup):
+        try:
+            r = case(sol) if case is _case_bdia_unstructured else case()
+        except Exception as e:  # keep the artifact even if one case dies
+            r = {"metric": case.__name__, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    with open("BENCH_FULL.json", "w") as fh:
+        json.dump(results, fh, indent=1)
+    return 0
 
 
 def main() -> int:
@@ -111,6 +250,8 @@ def main() -> int:
     print(f"# device={kind} n={n} nnz={A.nnz} bytes/spmv={bytes_per/1e6:.1f}MB "
           f"per_spmv={per_spmv*1e3:.3f}ms sol={sol}GB/s "
           f"target(0.8*sol)={target}GB/s", file=sys.stderr)
+    if "--full" in sys.argv:
+        return run_full(sol)
     return 0
 
 

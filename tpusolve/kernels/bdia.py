@@ -47,19 +47,26 @@ BLOCK_SIZES = (2048, 1024, 512, 256, 128)  # candidate R values (multiples
                                # of 128: the kernel works on (R/128, 128)
                                # tiles; larger R = fewer per-slot overheads)
 
-# calibrated kernel model (v5e measurement: 87 ns/slot at R=512): each
-# (block, offset-slot) costs a fixed scalar/loop overhead plus per-128-row
-# vector work; streaming runs at HBM rate.  Used by layout selection.
-SLOT_FIXED_NS = 40.0
-SLOT_PER_ROW_NS = 12.0     # per rr = R/128
+# calibrated kernel model (v5e): with the slot loop fully unrolled
+# (D <= UNROLL_MAX) the kernel runs at stream rate (~12 ns/slot at rr=8);
+# the rolled loop pays ~87 ns/slot of scalar overhead.  Used by layout
+# selection.
+UNROLL_MAX = 64
+SLOT_FIXED_NS = 40.0       # rolled-loop per-slot overhead
+SLOT_PER_ROW_NS = 12.0     # per rr = R/128 (rolled)
+UNROLLED_SLOT_NS = 4.0
+UNROLLED_PER_ROW_NS = 1.0
 HBM_GBPS = 819.0
 
 
 def model_time_s(B: int, D: int, R: int, itemsize: int) -> float:
     """Predicted per-SpMV seconds for a (B, D, R) BDIA layout."""
     stream = 2.0 * B * D * R * itemsize / (HBM_GBPS * 1e9)
-    issue = B * D * (SLOT_FIXED_NS + SLOT_PER_ROW_NS * R / 128.0) * 1e-9
-    return max(stream, issue)
+    if D <= UNROLL_MAX:
+        per_slot = UNROLLED_SLOT_NS + UNROLLED_PER_ROW_NS * R / 128.0
+    else:
+        per_slot = SLOT_FIXED_NS + SLOT_PER_ROW_NS * R / 128.0
+    return max(stream, B * D * per_slot * 1e-9)
 
 
 def plan_d(lr, lc, row_pad: int, col_pad: int, R: int) -> int:
@@ -167,6 +174,8 @@ def _bdia_kernel(starts_ref, x2d_ref, vals_ref, out_ref, *, d: int, rr: int,
     two-way select for the sublane carry, and a full-width FMA.  The vals
     stream (B, D, R) is the only HBM traffic, double-buffered by the grid
     pipeline; zero per-element gathers anywhere."""
+    lanes = lax.broadcasted_iota(jnp.int32, (rr, LANE), 1)
+
     def block(g, _):
         def slot(dd, acc):
             s = starts_ref[g, dd]
@@ -177,12 +186,15 @@ def _bdia_kernel(starts_ref, x2d_ref, vals_ref, out_ref, *, d: int, rr: int,
             rem = lax.rem(s, lane)
             seg = x2d_ref[pl.ds(row, rr + 1), :]          # (rr+1, 128)
             rot = pltpu.roll(seg, lax.rem(lane - rem, lane), 1)
-            lanes = lax.broadcasted_iota(jnp.int32, (rr, LANE), 1)
             win = jnp.where(lanes < LANE - rem, rot[:rr], rot[1:rr + 1])
             v = vals_ref[g, dd].reshape(rr, LANE)
             return acc + v * win
+        # Mosaic supports only full unrolling; do it for moderate D — it
+        # removes the per-slot scalar loop overhead and lets the compiler
+        # pipeline the slots (measured 10x on v5e: 73 -> 702 GB/s effective)
         acc = lax.fori_loop(0, d, slot,
-                            jnp.zeros((rr, LANE), vals_ref.dtype))
+                            jnp.zeros((rr, LANE), vals_ref.dtype),
+                            unroll=(d if d <= UNROLL_MAX else 1))
         out_ref[g] = acc.reshape(-1)
         return _
 
