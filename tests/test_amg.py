@@ -93,6 +93,55 @@ class TestCoarsen:
         assert 0.1 < ratio < 0.6  # ~1/4 expected for 5-pt PMIS
 
 
+class TestCoarsenRS:
+    """Classical Ruge-Stueben via the native kernel (coarsen_type 0/3/6;
+    ref default 6=Falgout, src/HypreSystem.cpp:125-126)."""
+
+    def _split(self, nx, ny):
+        A = laplace_2d(nx, ny)
+        S = strength_mod.classical_strength(A, 0.25)
+        split = coarsen_mod.rs(S)
+        assert split is not None, "native RS kernel unavailable"
+        return S.tocsr(), split
+
+    def test_covers_all_points(self):
+        _, split = self._split(8, 8)
+        assert set(np.unique(split)) <= {C_PT, F_PT}
+
+    def test_f_points_have_strong_c_neighbor(self):
+        S, split = self._split(12, 12)
+        for i in np.flatnonzero(split == F_PT):
+            nbrs = S.indices[S.indptr[i]:S.indptr[i + 1]]
+            if nbrs.size:
+                assert (split[nbrs] == C_PT).any(), i
+
+    def test_ff_pairs_share_common_c(self):
+        S, split = self._split(11, 13)
+        for i in np.flatnonzero(split == F_PT):
+            Ci = set(S.indices[S.indptr[i]:S.indptr[i + 1]][
+                split[S.indices[S.indptr[i]:S.indptr[i + 1]]] == C_PT])
+            for j in S.indices[S.indptr[i]:S.indptr[i + 1]]:
+                if split[j] != F_PT or j == i:
+                    continue
+                Cj = set(S.indices[S.indptr[j]:S.indptr[j + 1]][
+                    split[S.indices[S.indptr[j]:S.indptr[j + 1]]] == C_PT])
+                assert Ci & Cj, (i, j)
+
+    def test_rs_coarsening_ratio_5pt(self):
+        # classical RS on the 5-pt Laplacian yields the red-black-ish
+        # half/quarter coarse grid: denser than PMIS, below ~60%
+        _, split = self._split(16, 16)
+        ratio = (split == C_PT).mean()
+        assert 0.2 < ratio < 0.6
+
+    def test_coarsen_type6_dispatch_uses_rs(self):
+        A = laplace_2d(10, 10)
+        S = strength_mod.classical_strength(A, 0.25)
+        split, note = coarsen_mod.coarsen(S, 6)
+        # native available in CI: Falgout->RS note, no PMIS fallback note
+        assert note is None or "RS" in note
+
+
 class TestInterp:
     @pytest.mark.parametrize("builder", [
         interp_mod.direct_interpolation, interp_mod.classical_interpolation,

@@ -114,8 +114,17 @@ def aggressive_pmis(S: sp.csr_matrix, seed: int = 1234) -> np.ndarray:
     return split
 
 
+def rs(S: sp.csr_matrix) -> np.ndarray | None:
+    """Classical Ruge-Stueben splitting via the native C++ kernel
+    (sk_rs_coarsen) — exact serial first+second-pass semantics of the
+    reference's default coarsen_type 6 (Falgout; single-process Falgout
+    reduces to RS).  None when the native library is unavailable."""
+    from tpusolve.native import spk
+    return spk.rs_coarsen(S)
+
+
 COARSEN_MAP = {
-    0: "pmis", 3: "pmis", 6: "pmis", 7: "pmis", 8: "pmis", 10: "pmis",
+    0: "rs", 3: "rs", 6: "rs", 7: "pmis", 8: "pmis", 10: "pmis",
     21: "pmis", 22: "pmis",
 }
 
@@ -130,6 +139,16 @@ def coarsen(S: sp.csr_matrix, coarsen_type: int = 8, seed: int = 1234):
     if algo is None:
         raise ValueError(f"unsupported coarsen_type {coarsen_type}")
     note = None
+    if algo == "rs":
+        split = rs(S)
+        if split is not None:
+            if coarsen_type != 0:
+                note = (f"coarsen_type {coarsen_type} run as serial RS "
+                        "(Falgout reduces to RS without subdomains)")
+            return split, note
+        note = (f"coarsen_type {coarsen_type} mapped to PMIS "
+                "(native RS kernel unavailable)")
+        return pmis(S, seed=seed), note
     if coarsen_type not in (8,):
         note = (f"coarsen_type {coarsen_type} mapped to PMIS "
                 "(data-parallel TPU policy)")

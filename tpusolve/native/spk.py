@@ -39,6 +39,9 @@ def _configure(lib):
     lib.sk_sampled_at.restype = None
     lib.sk_sampled_at.argtypes = [
         ctypes.c_int32, _i32p, _i32p, _f64p, _i32p, _i32p, _f64p]
+    lib.sk_rs_coarsen.restype = None
+    lib.sk_rs_coarsen.argtypes = [
+        ctypes.c_int32, _i32p, _i32p, _i32p, _i32p, _i32p]
 
 
 def _lib():
@@ -145,6 +148,27 @@ def sampled_transpose(B: sp.csr_matrix, Pat: sp.csr_matrix) -> np.ndarray | None
         _ptr(Bp, _i32p), _ptr(Bj, _i32p), _ptr(Bx, _f64p),
         _ptr(Pp, _i32p), _ptr(Pj, _i32p), _ptr(out, _f64p))
     return out
+
+
+def rs_coarsen(S: sp.csr_matrix) -> np.ndarray | None:
+    """Classical Ruge-Stueben C/F splitting (first + second pass) on the
+    strength pattern S (S[i,j]=1 iff j strongly influences i).  Returns an
+    int array (1 = C, 0 = F), or None if the native library is
+    unavailable."""
+    lib = _lib()
+    if lib is None or not _fits(S):
+        return None
+    S = S.tocsr()
+    St = S.T.tocsr()
+    n = S.shape[0]
+    Sp, Sj, _ = _csr_args(S)
+    Stp, Stj, _ = _csr_args(St)
+    state = np.zeros(n, np.int32)
+    lib.sk_rs_coarsen(np.int32(n),
+                      _ptr(Sp, _i32p), _ptr(Sj, _i32p),
+                      _ptr(Stp, _i32p), _ptr(Stj, _i32p),
+                      _ptr(state, _i32p))
+    return state.astype(np.int64)
 
 
 def spgemm(A: sp.csr_matrix, B: sp.csr_matrix) -> sp.csr_matrix | None:

@@ -165,4 +165,108 @@ void sk_sampled_at(i32 n,
     }
 }
 
+// Classical Ruge-Stueben C/F splitting (first + second pass) — the serial
+// algorithm behind the reference's default coarsen_type 6 (Falgout = RS in
+// the interior; single-process runs are pure RS).  S is the strength CSR
+// (S[i,j] = 1 iff j strongly influences i), St its transpose (St[i,j] = 1
+// iff i strongly influences j).  state out: 1 = C, 0 = F.
+// Bucket priority queue over lambda = |St_i| with increment on F-neighbor
+// creation (textbook RS); second pass enforces the F-F common-C condition.
+void sk_rs_coarsen(i32 n,
+                   const i32* Sp, const i32* Sj,
+                   const i32* Stp, const i32* Stj,
+                   i32* state) {
+    const i32 UNDECIDED = -1, F = 0, C = 1;
+    std::vector<i32> lambda(n);
+    i32 lmax = 0;
+    for (i32 i = 0; i < n; ++i) {
+        lambda[i] = Stp[i + 1] - Stp[i];
+        if (lambda[i] > lmax) lmax = lambda[i];
+        state[i] = UNDECIDED;
+    }
+    // bucket queue: head[l] -> doubly-linked list of nodes with lambda l
+    const i32 NIL = -1;
+    std::vector<i32> head(static_cast<size_t>(lmax) + n + 2, NIL);
+    std::vector<i32> nxt(n, NIL), prv(n, NIL);
+    auto bucket_remove = [&](i32 i) {
+        if (prv[i] != NIL) nxt[prv[i]] = nxt[i];
+        else head[lambda[i]] = nxt[i];
+        if (nxt[i] != NIL) prv[nxt[i]] = prv[i];
+        nxt[i] = prv[i] = NIL;
+    };
+    auto bucket_push = [&](i32 i) {
+        i32 l = lambda[i];
+        prv[i] = NIL;
+        nxt[i] = head[l];
+        if (head[l] != NIL) prv[head[l]] = i;
+        head[l] = i;
+    };
+    for (i32 i = 0; i < n; ++i) {
+        if (lambda[i] == 0) state[i] = F;  // influences nothing
+        else bucket_push(i);
+    }
+    i32 top = lmax;
+    i64 remaining = 0;
+    for (i32 i = 0; i < n; ++i) if (state[i] == UNDECIDED) ++remaining;
+    while (remaining > 0) {
+        while (top > 0 && head[top] == NIL) --top;
+        if (top <= 0) break;
+        const i32 i = head[top];
+        bucket_remove(i);
+        state[i] = C;
+        --remaining;
+        // undecided points that i strongly influences become F; their
+        // other strong influencers gain priority
+        for (i32 t = Stp[i]; t < Stp[i + 1]; ++t) {
+            const i32 j = Stj[t];
+            if (state[j] != UNDECIDED) continue;
+            bucket_remove(j);
+            state[j] = F;
+            --remaining;
+            for (i32 u = Sp[j]; u < Sp[j + 1]; ++u) {
+                const i32 k = Sj[u];
+                if (state[k] != UNDECIDED) continue;
+                bucket_remove(k);
+                ++lambda[k];
+                if (lambda[k] >= static_cast<i32>(head.size()))
+                    head.resize(lambda[k] + 16, NIL);
+                bucket_push(k);
+                if (lambda[k] > top) top = lambda[k];
+            }
+        }
+    }
+    for (i32 i = 0; i < n; ++i)
+        if (state[i] == UNDECIDED) state[i] = F;
+
+    // second pass: every strong F-F pair must share a common strong C
+    std::vector<i32> mark(n, -1);
+    for (i32 i = 0; i < n; ++i) {
+        if (state[i] != F) continue;
+        for (i32 t = Sp[i]; t < Sp[i + 1]; ++t)   // mark C_i
+            if (state[Sj[t]] == C) mark[Sj[t]] = i;
+        i32 tentative = -1;
+        for (i32 t = Sp[i]; t < Sp[i + 1]; ++t) {
+            const i32 j = Sj[t];
+            if (state[j] != F || j == i) continue;
+            bool common = false;
+            for (i32 u = Sp[j]; u < Sp[j + 1]; ++u) {
+                const i32 k = Sj[u];
+                if (state[k] == C && mark[k] == i) { common = true; break; }
+            }
+            if (!common) {
+                if (tentative >= 0) {
+                    // second violation: make i itself C instead
+                    state[tentative] = F;
+                    state[i] = C;
+                    tentative = -1;
+                    break;
+                }
+                tentative = j;
+                state[j] = C;
+                mark[j] = i;   // j now serves as a common C for i
+            }
+        }
+    }
+}
+
 }  // extern "C"
