@@ -266,6 +266,17 @@ class TestAMGSolve:
         assert bool(res.converged)
         assert int(res.iters) <= 20
 
+    def test_chebyshev4_smoother(self, mesh8):
+        # fourth-kind variant (cheby_variant 4, Lottes 2022): converges
+        # comparably with no lower-edge (cheby_fraction) guess
+        A, b, x_ref = self._system(mesh8, 5, 5, 4)
+        cfg = BoomerAMGConfig(relax_type=16, max_coarse_size=32,
+                              cheby_order=3, cheby_variant=4)
+        pre = boomeramg_setup(A, cfg)
+        res = pcg_setup(A, pre.apply, tol=1e-10, maxiter=100)(b)
+        assert bool(res.converged)
+        assert int(res.iters) <= 20
+
     def test_w_cycle(self, mesh8):
         A, b, x_ref = self._system(mesh8, 4, 4, 4)
         cfg = BoomerAMGConfig(cycle_type=2, max_coarse_size=16, max_levels=3)

@@ -386,9 +386,15 @@ def _build_cycle(pre: AMGPreconditioner, kind_down, kind_up,
             return smoothers.jacobi_sweeps(lev.A, lev.dinv, b, x, ns, weight)
         if kind == smoothers.RELAX_CHEBYSHEV:
             for _ in range(ns):
-                x = smoothers.chebyshev_sweeps(lev.A, lev.dinv, b, x,
-                                               lev.cheby_bounds,
-                                               cfg.cheby_order)
+                if cfg.cheby_variant == 4:
+                    # fourth-kind (Lottes 2022): only the upper bound
+                    x = smoothers.chebyshev4_sweeps(lev.A, lev.dinv, b, x,
+                                                    lev.cheby_bounds[1],
+                                                    cfg.cheby_order)
+                else:
+                    x = smoothers.chebyshev_sweeps(lev.A, lev.dinv, b, x,
+                                                   lev.cheby_bounds,
+                                                   cfg.cheby_order)
             return x
         raise ValueError(kind)
 

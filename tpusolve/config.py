@@ -131,6 +131,8 @@ class BoomerAMGConfig:
     # Chebyshev smoother options (TPU-native relax path)
     cheby_order: int = 2
     cheby_fraction: float = 0.3
+    cheby_variant: int = 0     # 0 = classical third-kind; 4 = fourth-kind
+                               # (Lottes 2022 — needs only the upper bound)
     extra: dict = field(default_factory=dict)
 
 
