@@ -79,6 +79,43 @@ class TestLifecycle:
         assert ok, f"{method}+{precond} failed golden check"
         assert all(bool(r.converged) for r in sys_.solve_results)
 
+    def test_rcm_ordering_golden_check(self, mesh8, tmp_path, rng):
+        """matrix_ordering: rcm — system solved in the permuted basis, the
+        golden check and the written solution stay consistent with the
+        original ordering."""
+        n = 4096
+        A = laplace_2d(64, 64)
+        perm_scramble = rng.permutation(n)
+        A = A[perm_scramble][:, perm_scramble].tocoo()   # scrambled input
+        x = rng.standard_normal(n)
+        b = sp.csr_matrix(A) @ x
+        mmio.write_matrix(tmp_path / "A.mm", A.row, A.col, A.data, A.shape)
+        mmio.write_vector(tmp_path / "b.mm", b)
+        mmio.write_vector(tmp_path / "x.mm", x)
+        import yaml
+        doc = yaml.safe_load(BASE_YAML.format(
+            mat=tmp_path / "A.mm", rhs=tmp_path / "b.mm",
+            sln=tmp_path / "x.mm", method="cg", precond="boomeramg"))
+        doc["solver_settings"]["matrix_ordering"] = "rcm"
+        cfg = parse_config(doc)
+        sys_ = LinearSystem(mesh8, cfg, verbose=False)
+        sys_.setup_precon_and_solver()
+        sys_.load()
+        assert sys_._perm is not None
+        sys_.solve()
+        assert sys_.check_solution()
+        # written solution is in the ORIGINAL ordering
+        import os
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            sys_.config.linear_system.write_solution = True
+            sys_.output_linear_system()
+            back = ij.read_dense_vector("IJV0.sln", mesh8.devices.size, n)
+        finally:
+            os.chdir(cwd)
+        np.testing.assert_allclose(back, x, rtol=1e-5, atol=1e-7)
+
     def test_stencil_lifecycle(self, mesh8):
         import yaml
         doc = yaml.safe_load("""

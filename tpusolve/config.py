@@ -83,6 +83,11 @@ class SolverConfig:
     spmv_use_dia: bool = True
     spmv_use_bell: bool = True
     spmv_use_bdia: bool = True
+    # global system reordering at assembly: "rcm" permutes A -> P A P^T
+    # (reverse Cuthill-McKee) so file-loaded unstructured systems become
+    # banded and eligible for the BDIA fast path; rhs/solution vectors are
+    # permuted consistently (golden check unaffected)
+    matrix_ordering: str = "none"
     # keep the preconditioner/solver across the num_tests loop (key present
     # in the reference's yaml surface, etc/hypre_app.yaml:21)
     reuse_preconditioner: bool = False

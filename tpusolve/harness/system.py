@@ -84,6 +84,7 @@ class LinearSystem:
         self._precond = None
         self._method = None
         self._precond_name = None
+        self._perm = None          # matrix_ordering: new index -> old
 
     # ------------------------------------------------------------------
     def _log(self, msg):
@@ -123,8 +124,39 @@ class LinearSystem:
             raise RuntimeError(f"Invalid linear system type option: {kind}")
 
     # ------------------------------------------------------------------
+    def _apply_ordering(self, rows, cols, vals, n):
+        """Optional global reordering A -> P A P^T (``matrix_ordering:
+        rcm``): bandwidth reduction makes file-loaded unstructured systems
+        eligible for the BDIA fast path (kernels/bdia.py).  Returns the
+        permuted COO; ``self._perm`` maps new index -> old index and is
+        applied to every vector staged afterwards."""
+        ordering = self.config.solver.extra.get(
+            "matrix_ordering", self.config.solver.matrix_ordering)
+        if ordering in (None, "none"):
+            return rows, cols, vals
+        if ordering != "rcm":
+            raise ValueError(f"unknown matrix_ordering: {ordering}")
+        lo, hi = self._host_range(n)
+        if lo != 0 or hi != n - 1:
+            self._log("  note: matrix_ordering: rcm skipped (global "
+                      "pattern not local to this host)")
+            return rows, cols, vals
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        pat = sp.csr_matrix((np.ones(len(rows), np.int8), (rows, cols)),
+                            shape=(n, n))
+        perm = np.asarray(reverse_cuthill_mckee(pat + pat.T,
+                                                symmetric_mode=True))
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        self._perm = perm          # new -> old
+        self._perm_inv = inv       # old -> new
+        self._log("  note: matrix_ordering: rcm applied (bandwidth "
+                  "reduction for the blocked-DIA fast path)")
+        return inv[rows], inv[cols], vals
+
     def _assemble(self, rows, cols, vals, n):
         """COO -> sharded device matrix + host CSR (for precond setup)."""
+        rows, cols, vals = self._apply_ordering(rows, cols, vals, n)
         with self.timers.span("Initialize system"):
             offsets = row_decomposition(n, self.mesh.devices.size)
             if self.verbose:
@@ -163,8 +195,22 @@ class LinearSystem:
                 or self._method in ("boomeramg", "ilu")
                 or self.config.linear_system.write_outputs)
 
+    def _permute_in(self, vec_np):
+        """Carry a global vector into the (optionally reordered) solve
+        basis; the golden check then compares like with like."""
+        return vec_np[self._perm] if self._perm is not None else vec_np
+
+    def _permute_out(self, vec_np):
+        """Solution back to the original ordering (file writers)."""
+        if self._perm is None:
+            return vec_np
+        out = np.empty_like(vec_np)
+        out[self._perm] = vec_np
+        return out
+
     def _stage_vector(self, vec_np):
-        return to_device_vector(self.mesh, vec_np, self.A.row_offsets,
+        return to_device_vector(self.mesh, self._permute_in(vec_np),
+                                self.A.row_offsets,
                                 self.A.row_pad, dtype=self.dtype)
 
     # ------------------------------------------------------------------
@@ -201,7 +247,7 @@ class LinearSystem:
                 v = mmio.read_vector(sf)
                 if ls.complex_numbers:
                     v = mmio.expand_complex_vector(v)
-                self.sln_ref.append(np.real(v))
+                self.sln_ref.append(self._permute_in(np.real(v)))
         self.check_enabled = bool(self.sln_ref) and \
             len(self.sln_ref) == len(self.rhs)
 
@@ -226,8 +272,8 @@ class LinearSystem:
                 self.rhs.append(self._stage_vector(
                     ij.read_dense_vector(rf, nfiles, n, row_range=rr)))
             for sf in ls.sln_files:
-                self.sln_ref.append(ij.read_dense_vector(sf, nfiles, n,
-                                                         row_range=rr))
+                self.sln_ref.append(self._permute_in(
+                    ij.read_dense_vector(sf, nfiles, n, row_range=rr)))
         self.check_enabled = bool(self.sln_ref) and \
             len(self.sln_ref) == len(self.rhs)
 
@@ -446,8 +492,10 @@ class LinearSystem:
                                     offsets)
             for i, x in enumerate(self.sln):
                 ij.write_vector(f"IJV{i}.sln",
-                                from_device_vector(x, self.A.row_offsets,
-                                                   self.A.row_pad),
+                                self._permute_out(
+                                    from_device_vector(x,
+                                                       self.A.row_offsets,
+                                                       self.A.row_pad)),
                                 offsets)
 
     def _write_amg_matrices(self):
