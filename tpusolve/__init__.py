@@ -34,6 +34,20 @@ if _os.environ.get("TPUSOLVE_HUGEPAGE", "0") != "1":
         except (AttributeError, TypeError):
             continue
 
+if _os.environ.get("TPUSOLVE_POOL_ALLOC", "1") == "1":
+    # Pooling numpy data allocator (native/npool.c): large temporaries are
+    # carved from one persistent arena and reused — without it, glibc
+    # munmaps them and every reuse re-faults fresh mmap pages at ~45 us/4KB
+    # on paravirtual hosts (observed: setup phases >90% in page faults once
+    # the main-heap brk is blocked by the JAX runtime's mappings).
+    try:
+        from tpusolve.native.build import get_npool as _get_npool
+        _npool = _get_npool()
+        if _npool is not None:
+            _npool.install()
+    except Exception:
+        pass
+
 if _os.environ.get("TPUSOLVE_MALLOC_TUNE", "1") == "1":
     # Large numpy temporaries default to per-allocation mmap, which glibc
     # munmaps on free — so every setup-phase temporary re-faults its pages.

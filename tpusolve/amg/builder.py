@@ -21,6 +21,8 @@ reference's reach into ``hypre_ParAMGData`` for the AMG-matrix dump
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
 from dataclasses import dataclass
 from typing import Any
 
@@ -165,7 +167,19 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
 
     ``A_host`` may supply the host CSR to avoid a device gather when the
     caller already has it (e.g. straight after file load).
+
+    Set ``TPUSOLVE_SETUP_LOG=1`` for per-level phase timings (the analog
+    of BoomerAMG's setup print_level output).
     """
+    log_on = os.environ.get("TPUSOLVE_SETUP_LOG", "0") == "1"
+    _t = [time.perf_counter()]
+
+    def _phase(label):
+        if log_on:
+            t = time.perf_counter()
+            print(f"    setup: {label:28s} {t - _t[0]:8.2f}s", flush=True)
+            _t[0] = t
+
     cfg = config or BoomerAMGConfig()
     mesh = A.mesh
     dtype = A.dtype
@@ -183,7 +197,11 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
         n = Ah.shape[0]
         if n <= max_coarse or lvl == cfg.max_levels - 1:
             break
+        if log_on:
+            print(f"  setup level {lvl}: n={n} nnz={Ah.nnz}", flush=True)
+        _t[0] = time.perf_counter()
         S = strength_mod.classical_strength(Ah, cfg.strong_threshold)
+        _phase("strength")
         aggressive = lvl < cfg.agg_num_levels
         if aggressive:
             # agg_num_levels finest levels coarsen aggressively
@@ -197,6 +215,7 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
                                               seed=seed + lvl)
             if note and note not in notes:
                 notes.append(note)
+        _phase("coarsen")
         nc = int((split == coarsen_mod.C_PT).sum())
         if nc == 0 or nc >= n:
             break  # coarsening stalled: stop here, direct-solve this level
@@ -212,7 +231,9 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
             require_distance2=aggressive)
         if note and note not in notes:
             notes.append(note)
+        _phase("interpolation")
         Ac = galerkin.rap(Ah, P_host)
+        _phase("galerkin RAP")
         ng_tol = cfg.non_galerkin_tol
         if cfg.nongalerk_tol:
             idx = min(lvl, len(cfg.nongalerk_tol) - 1)
@@ -221,6 +242,7 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
             Ac = galerkin.nongalerkin_sparsify(Ac, ng_tol)
 
         lev = _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg)
+        _phase("level vectors")
         if lvl < cfg.smooth_num_levels and cfg.smooth_type is not None:
             _attach_ilu_smoother(lev, mesh, A_sh, Ah, dtype, cfg, notes)
         if cfg.relax_order == 1:
@@ -236,10 +258,12 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
         lev.R = _sharded_from_scipy(mesh, P_host.T.tocsr(), dtype,
                                     row_offsets=col_off,
                                     col_offsets=row_off)
+        _phase("P/R device assembly")
         levels.append(lev)
 
         Ah = Ac
         A_sh = _sharded_from_scipy(mesh, Ah, dtype)
+        _phase("coarse A device assembly")
 
     # coarsest level: dense (pseudo)inverse or relaxation sweeps
     kind_coarse, coarse_sweeps = _guard_coarse(kind_coarse, Ah.shape[0],

@@ -78,5 +78,41 @@ def get_lib():
     return load_native("fastio", _configure_fastio)
 
 
+_npool_mod = [None, False]
+
+
+def get_npool():
+    """The pooling numpy-allocator extension module (npool.c), compiled on
+    first use against the current Python/numpy headers; None when the
+    toolchain is unavailable."""
+    if _npool_mod[1]:
+        return _npool_mod[0]
+    _npool_mod[1] = True
+    src = os.path.join(_DIR, "npool.c")
+    lib_path = os.path.join(_DIR, "npool.so")
+    try:
+        import sysconfig
+        import numpy as np
+        fresh = (os.path.exists(lib_path) and os.path.exists(src)
+                 and os.path.getmtime(lib_path) >= os.path.getmtime(src))
+        if not fresh:
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+            os.close(fd)
+            cmd = ["gcc", "-O2", "-shared", "-fPIC",
+                   "-I" + sysconfig.get_paths()["include"],
+                   "-I" + np.get_include(), src, "-o", tmp]
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, lib_path)
+        import importlib.util
+        # module name must match PyInit_npool
+        spec = importlib.util.spec_from_file_location("npool", lib_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _npool_mod[0] = mod
+    except Exception:
+        _npool_mod[0] = None
+    return _npool_mod[0]
+
+
 def available() -> bool:
     return get_lib() is not None

@@ -42,6 +42,11 @@ def _configure(lib):
     lib.sk_rs_coarsen.restype = None
     lib.sk_rs_coarsen.argtypes = [
         ctypes.c_int32, _i32p, _i32p, _i32p, _i32p, _i32p]
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    _f32p = ctypes.POINTER(ctypes.c_float)
+    lib.sk_dia_to_csr.restype = ctypes.c_int64
+    lib.sk_dia_to_csr.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, _f32p, _i64p, _i64p, _i64p, _f64p]
 
 
 def _lib():
@@ -147,6 +152,32 @@ def sampled_transpose(B: sp.csr_matrix, Pat: sp.csr_matrix) -> np.ndarray | None
         np.int32(n),
         _ptr(Bp, _i32p), _ptr(Bj, _i32p), _ptr(Bx, _f64p),
         _ptr(Pp, _i32p), _ptr(Pj, _i32p), _ptr(out, _f64p))
+    return out
+
+
+def dia_to_csr(dia_t: np.ndarray, offs: np.ndarray) -> sp.csr_matrix | None:
+    """CSR of a dense (rows, ndiag) float32 DIA-value table with diagonal
+    offsets ``offs`` (single pass, no index temporaries).  None if the
+    native library is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    dia_t = np.ascontiguousarray(dia_t, np.float32)
+    rows, ndiag = dia_t.shape
+    offs = np.ascontiguousarray(offs, np.int64)
+    nnz_max = int(np.count_nonzero(dia_t))
+    indptr = np.empty(rows + 1, np.int64)
+    cols = np.empty(nnz_max, np.int64)
+    vals = np.empty(nnz_max, np.float64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    nnz = lib.sk_dia_to_csr(
+        np.int64(rows), np.int32(ndiag),
+        _ptr(dia_t, f32p), _ptr(offs, i64p),
+        _ptr(indptr, i64p), _ptr(cols, i64p), _ptr(vals, _f64p))
+    assert nnz == nnz_max
+    out = sp.csr_matrix((vals, cols, indptr), shape=(rows, rows))
+    out.has_sorted_indices = True
     return out
 
 

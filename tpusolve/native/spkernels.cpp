@@ -269,4 +269,29 @@ void sk_rs_coarsen(i32 n,
     }
 }
 
+// Row-major CSR extraction from a dense (rows x ndiag) float32 DIA-value
+// table (column j holds diagonal offs[j]) — the stencil generator's
+// with_host path.  One pass, no index temporaries: at 450M nnz the numpy
+// nonzero detour allocates ~7 GB of int64 scratch, which is minutes of
+// first-touch page faults on paravirtual hosts.
+// Returns nnz; fills indptr (rows+1, int64), cols (int64), vals (f64).
+i64 sk_dia_to_csr(i64 rows, i32 ndiag,
+                  const float* dia_t, const i64* offs,
+                  i64* indptr, i64* cols, double* vals) {
+    i64 w = 0;
+    indptr[0] = 0;
+    for (i64 r = 0; r < rows; ++r) {
+        const float* row = dia_t + r * ndiag;
+        for (i32 k = 0; k < ndiag; ++k) {
+            if (row[k] != 0.0f) {
+                cols[w] = r + offs[k];
+                vals[w] = static_cast<double>(row[k]);
+                ++w;
+            }
+        }
+        indptr[r + 1] = w;
+    }
+    return w;
+}
+
 }  // extern "C"

@@ -234,30 +234,58 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
         return A, b, x_ref, host_parts
     if with_host:
         import scipy.sparse as sp
-        rows_l, cols_l, vals_l = [], [], []
         if parts is None:
-            # reconstruct from the DIA fast path
-            k_idx, r_k = np.nonzero(dia_one)
-            cols_one = r_k + offs[k_idx]
-            vals_one = dia_one[k_idx, r_k].astype(np.float64)
-            for part in range(nparts):
-                rows_l.append(part * box + r_k)
-                cols_l.append(part * box + cols_one)
-                vals_l.append(vals_one)
-                olr, ogc, ov = offd_parts[part]
-                rows_l.append(part * box + olr)
-                cols_l.append(ogc)
-                vals_l.append(ov.astype(np.float64))
+            # reconstruct from the DIA fast path — build the CSR directly
+            # in row-major order (a COO detour re-sorts ~nnz entries:
+            # minutes at 450M nnz)
+            dia_t = np.ascontiguousarray(dia_one.T)       # (box, 27)
+            from tpusolve.native import spk
+            A_one = spk.dia_to_csr(dia_t, offs)
+            if A_one is not None:
+                # native one-pass extraction (no 2x-nnz index temporaries)
+                cols_one = A_one.indices
+                vals_one = A_one.data
+                counts_one = np.diff(A_one.indptr)
+            else:
+                r_k, k_idx = np.nonzero(dia_t)            # row-major
+                cols_one = (r_k + offs[k_idx]).astype(np.int32)
+                vals_one = dia_t[r_k, k_idx].astype(np.float64)
+                counts_one = np.count_nonzero(dia_t, axis=1)
+            nnz_one = vals_one.size
+            offd_nnz = sum(len(o[0]) for o in offd_parts)
+            if nparts == 1 and offd_nnz == 0 and A_one is not None:
+                return A, b, x_ref, A_one    # single box: no tiling copies
+            indptr = np.empty(n + 1, np.int64)
+            indptr[0] = 0
+            np.cumsum(np.tile(counts_one, nparts), out=indptr[1:])
+            indices = (np.tile(cols_one, nparts).astype(np.int64)
+                       + np.repeat(np.arange(nparts) * box, nnz_one))
+            data = np.tile(vals_one, nparts)
+            A_host = sp.csr_matrix((data, indices, indptr), shape=(n, n))
+            A_host.has_sorted_indices = True   # offsets ascend per row
+            if offd_nnz:
+                rows_l, cols_l, vals_l = [], [], []
+                for part in range(nparts):
+                    olr, ogc, ov = offd_parts[part]
+                    rows_l.append(part * box + olr)
+                    cols_l.append(ogc)
+                    vals_l.append(ov.astype(np.float64))
+                A_host = (A_host + sp.csr_matrix(
+                    (np.concatenate(vals_l),
+                     (np.concatenate(rows_l), np.concatenate(cols_l))),
+                    shape=(n, n))).tocsr()
         else:
+            rows_l, cols_l, vals_l = [], [], []
             for q, p in enumerate(parts):
                 rows_l.append(p[0] + q * box)
                 cols_l.append(p[1])
                 # setup math (strength/interp/RAP) runs in f64 on the host
                 # even when the device operators are f32
                 vals_l.append(p[2].astype(np.float64))
-        A_host = sp.csr_matrix(
-            (np.concatenate(vals_l),
-             (np.concatenate(rows_l), np.concatenate(cols_l))), shape=(n, n))
+            A_host = sp.csr_matrix(
+                (np.concatenate(vals_l),
+                 (np.concatenate(rows_l), np.concatenate(cols_l))),
+                shape=(n, n))
         return A, b, x_ref, A_host
     return A, b, x_ref
 
