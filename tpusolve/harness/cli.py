@@ -49,14 +49,18 @@ def main(argv=None) -> int:
         except Exception:
             pass
 
-    from tpusolve.mesh import make_mesh
+    from tpusolve.mesh import make_mesh, init_distributed
     from tpusolve.harness.system import LinearSystem
     from tpusolve.timers import CsvProfile
 
+    # multi-host pods: one process per host, coordinator from env (the
+    # reference's MPI_Init analog, src/main.cpp:33-35)
+    multi = init_distributed()
     mesh = make_mesh()
     ndev = mesh.devices.size
-    print(f"tpusolve: {ndev} device(s): "
-          f"{[str(d) for d in mesh.devices.ravel()][:8]}", flush=True)
+    print(f"tpusolve: {ndev} device(s)"
+          + (f" across {jax.process_count()} hosts" if multi else "")
+          + f": {[str(d) for d in mesh.devices.ravel()][:8]}", flush=True)
 
     # device-memory probe at lifecycle boundaries (ref checkMemory,
     # src/HypreSystem.cpp:638-671) and optional profiler trace

@@ -49,13 +49,44 @@ def local_range(offsets: np.ndarray, part: int) -> tuple[int, int]:
     return int(offsets[part]), int(offsets[part + 1]) - 1
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host runtime init — the analog of the reference's ``MPI_Init``
+    (src/main.cpp:33-35).  One JAX process per host; afterwards
+    ``jax.devices()`` spans the whole pod slice, so the same ``make_mesh``/
+    ``shard_map`` code runs unchanged with halo traffic riding ICI within a
+    slice and DCN across hosts.
+
+    Arguments default to JAX's standard environment discovery
+    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``,
+    or the TPU metadata on Cloud TPU pods).  Returns True when a
+    multi-process runtime was initialized, False for the single-process
+    fallback (no coordinator configured).
+    """
+    import os
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None and os.environ.get("TPU_WORKER_HOSTNAMES") is None:
+        return False  # single-process run: nothing to do
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
 def make_mesh(n_devices: int | None = None, axis: str = ROWS_AXIS,
               devices=None) -> Mesh:
     """Build a 1-D device mesh over the row axis.
 
-    ``n_devices=None`` uses all available devices.  The reference binds one
-    GPU per MPI rank (src/main.cpp:9-29); here every addressable device is a
-    mesh coordinate and SPMD replaces the process model.
+    ``n_devices=None`` uses all available devices — across *all* processes
+    after :func:`init_distributed` (multi-host pods).  The reference binds
+    one GPU per MPI rank (src/main.cpp:9-29); here every addressable device
+    is a mesh coordinate and SPMD replaces the process model.
     """
     if devices is None:
         devices = jax.devices()
