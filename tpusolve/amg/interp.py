@@ -479,6 +479,9 @@ def _keys(M: sp.csr_matrix) -> np.ndarray:
 
 def _pattern_mask(A: sp.csr_matrix, S: sp.csr_matrix) -> np.ndarray:
     """Boolean mask over A.data: True where (i,j) is in S's pattern."""
+    m = spk.pattern_mask(A, S)
+    if m is not None:
+        return m
     keyA = _keys(A)
     keyS = np.sort(_keys(S.tocsr()))
     pos = np.searchsorted(keyS, keyA)

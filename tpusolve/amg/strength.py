@@ -23,6 +23,10 @@ def classical_strength(A: sp.csr_matrix, theta: float = 0.25) -> sp.csr_matrix:
 
     S[i, j] = 1 iff j strongly influences i.
     """
+    from tpusolve.native import spk
+    S = spk.strength(A.tocsr(), theta)
+    if S is not None:
+        return S
     A = A.tocsr()
     n = A.shape[0]
     diag = A.diagonal()

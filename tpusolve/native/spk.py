@@ -47,6 +47,13 @@ def _configure(lib):
     lib.sk_dia_to_csr.restype = ctypes.c_int64
     lib.sk_dia_to_csr.argtypes = [
         ctypes.c_int64, ctypes.c_int32, _f32p, _i64p, _i64p, _i64p, _f64p]
+    _u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.sk_strength.restype = ctypes.c_int64
+    lib.sk_strength.argtypes = [
+        ctypes.c_int64, _i32p, _i32p, _f64p, ctypes.c_double, _i32p, _i32p]
+    lib.sk_pattern_mask.restype = None
+    lib.sk_pattern_mask.argtypes = [
+        ctypes.c_int64, _i32p, _i32p, _i32p, _i32p, _u8p]
 
 
 def _lib():
@@ -179,6 +186,47 @@ def dia_to_csr(dia_t: np.ndarray, offs: np.ndarray) -> sp.csr_matrix | None:
     out = sp.csr_matrix((vals, cols, indptr), shape=(rows, rows))
     out.has_sorted_indices = True
     return out
+
+
+def strength(A: sp.csr_matrix, theta: float) -> sp.csr_matrix | None:
+    """Classical strength-of-connection pattern CSR (ones data, sorted
+    columns, no diagonal).  None if the native library is unavailable."""
+    lib = _lib()
+    if lib is None or not _fits(A):
+        return None
+    A = A.tocsr()
+    n = A.shape[0]
+    Ap, Aj, Ax = _csr_args(A)
+    Sp = np.empty(n + 1, np.int32)
+    Sj = np.empty(A.nnz, np.int32)
+    nnz = lib.sk_strength(np.int64(n), _ptr(Ap, _i32p), _ptr(Aj, _i32p),
+                          _ptr(Ax, _f64p), float(theta),
+                          _ptr(Sp, _i32p), _ptr(Sj, _i32p))
+    S = sp.csr_matrix((np.ones(nnz), Sj[:nnz], Sp), shape=A.shape)
+    S.has_sorted_indices = True
+    return S
+
+
+def pattern_mask(A: sp.csr_matrix, S: sp.csr_matrix) -> np.ndarray | None:
+    """Boolean mask over A.data marking entries present in S's pattern
+    (both must have sorted column indices).  None if unavailable."""
+    lib = _lib()
+    if lib is None or not _fits(A, S):
+        return None
+    A = A.tocsr()
+    S = S.tocsr()
+    # the mask must align with the CALLER's view of A.data — never sort in
+    # place here; decline instead (the numpy fallback handles any order)
+    if not A.has_sorted_indices or not S.has_sorted_indices:
+        return None
+    n = A.shape[0]
+    Ap, Aj, _ = _csr_args(A)
+    Sp, Sj, _ = _csr_args(S)
+    mask = np.empty(A.nnz, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.sk_pattern_mask(np.int64(n), _ptr(Ap, _i32p), _ptr(Aj, _i32p),
+                        _ptr(Sp, _i32p), _ptr(Sj, _i32p), _ptr(mask, u8p))
+    return mask.view(np.bool_)
 
 
 def rs_coarsen(S: sp.csr_matrix) -> np.ndarray | None:

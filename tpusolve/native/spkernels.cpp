@@ -269,6 +269,53 @@ void sk_rs_coarsen(i32 n,
     }
 }
 
+// Classical strength-of-connection pattern:
+//   S[i,j] = 1  iff  j != i and -a_ij*sign_i >= theta * max_k(-a_ik*sign_i)
+// (sign_i flips for negative diagonals).  One pass per row, no nnz-sized
+// temporaries; Sj is written sorted (A's column order).  Returns nnz(S).
+i64 sk_strength(i64 n, const i32* Ap, const i32* Aj, const double* Ax,
+                double theta, i32* Sp, i32* Sj) {
+    i64 w = 0;
+    Sp[0] = 0;
+    for (i64 i = 0; i < n; ++i) {
+        double diag = 0.0;
+        for (i32 t = Ap[i]; t < Ap[i + 1]; ++t)
+            if (Aj[t] == i) { diag = Ax[t]; break; }
+        const double sign = (diag < 0.0) ? -1.0 : 1.0;
+        double row_max = 0.0;
+        for (i32 t = Ap[i]; t < Ap[i + 1]; ++t) {
+            if (Aj[t] == i) continue;
+            const double v = -Ax[t] * sign;
+            if (v > row_max) row_max = v;
+        }
+        const double thresh = theta * row_max;
+        if (row_max > 0.0) {
+            for (i32 t = Ap[i]; t < Ap[i + 1]; ++t) {
+                if (Aj[t] == i) continue;
+                const double v = -Ax[t] * sign;
+                if (v >= thresh && v > 0.0) Sj[w++] = Aj[t];
+            }
+        }
+        Sp[i + 1] = static_cast<i32>(w);
+    }
+    return w;
+}
+
+// mask[e] = 1 iff A's entry e's (row, col) is present in S's pattern
+// (both CSRs row-sorted with sorted columns; two-pointer row merge).
+void sk_pattern_mask(i64 n, const i32* Ap, const i32* Aj,
+                     const i32* Sp, const i32* Sj, uint8_t* mask) {
+    for (i64 i = 0; i < n; ++i) {
+        i32 u = Sp[i];
+        const i32 uend = Sp[i + 1];
+        for (i32 t = Ap[i]; t < Ap[i + 1]; ++t) {
+            const i32 c = Aj[t];
+            while (u < uend && Sj[u] < c) ++u;
+            mask[t] = (u < uend && Sj[u] == c) ? 1 : 0;
+        }
+    }
+}
+
 // Row-major CSR extraction from a dense (rows x ndiag) float32 DIA-value
 // table (column j holds diagonal offs[j]) — the stencil generator's
 // with_host path.  One pass, no index temporaries: at 450M nnz the numpy
