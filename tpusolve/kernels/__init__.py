@@ -61,8 +61,9 @@ formulation                                            effective BW
 BELL 128-wide windows (K=9, fill 3.4%)                  38   GB/s
 BELL 16-wide packed subwindows (fill 6.9%)              19   GB/s (issue-bound)
 BDIA XLA vmap(dynamic_slice) windows                     1.5 GB/s (element gather)
-BDIA Pallas, R=512                                      48   GB/s
-**BDIA Pallas, R=2048 (shipped)**                      **179 GB/s (21.9% SoL)**
+BDIA Pallas, rolled slot loop, R=512                    48   GB/s
+BDIA Pallas, rolled slot loop, R=2048                  179   GB/s
+**BDIA Pallas, fully unrolled slots (shipped)**        **762 GB/s (93% SoL)**
 =====================================================  ============
 
 * ``vmap(dynamic_slice)`` lowers to an element gather — contiguous window
