@@ -184,6 +184,18 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
     mesh = A.mesh
     dtype = A.dtype
     kind_down, kind_up, kind_coarse, notes = _resolve_kinds(cfg)
+    # remaining reference keys (src/HypreSystem.cpp:180-190) with no
+    # behavioral freedom here — record how each is honored/mapped so no
+    # accepted key is a silent no-op:
+    if cfg.rap2:
+        notes.append("rap2=1 honored by construction: RAP is always "
+                     "computed as two products, (A@P) then P^T@(AP)")
+    if cfg.keep_transpose:
+        notes.append("keep_transpose=1 honored by construction: R = P^T "
+                     "is materialized and stored per level")
+    if cfg.variant is not None:
+        notes.append(f"variant {cfg.variant} (Schwarz smoother variant) "
+                     "not applicable: Schwarz smoothing maps to ILU(0)")
 
     Ah = (A_host if A_host is not None else A.to_scipy()).tocsr()
     Ah.sum_duplicates()

@@ -123,8 +123,12 @@ def rs(S: sp.csr_matrix) -> np.ndarray | None:
     return spk.rs_coarsen(S)
 
 
+# hypre coarsen_type codes: 0=CLJP, 1=RS(classical), 3=RS(strong boundary),
+# 6=Falgout, 7=CLJP-c, 8=PMIS, 10=HMIS, 21/22=CGC.  CLJP-family codes map to
+# the PMIS independent-set path (same parallel MIS structure); the serial-RS
+# kernel backs the RS-family codes (Falgout reduces to RS single-process).
 COARSEN_MAP = {
-    0: "rs", 3: "rs", 6: "rs", 7: "pmis", 8: "pmis", 10: "pmis",
+    0: "pmis", 1: "rs", 3: "rs", 6: "rs", 7: "pmis", 8: "pmis", 10: "pmis",
     21: "pmis", 22: "pmis",
 }
 
@@ -142,14 +146,18 @@ def coarsen(S: sp.csr_matrix, coarsen_type: int = 8, seed: int = 1234):
     if algo == "rs":
         split = rs(S)
         if split is not None:
-            if coarsen_type != 0:
-                note = (f"coarsen_type {coarsen_type} run as serial RS "
+            if coarsen_type == 6:
+                note = ("coarsen_type 6 (Falgout) run as serial RS "
                         "(Falgout reduces to RS without subdomains)")
+            elif coarsen_type == 3:
+                note = ("coarsen_type 3 (RS + strong boundary) run as "
+                        "serial RS (no subdomain boundaries single-process)")
             return split, note
         note = (f"coarsen_type {coarsen_type} mapped to PMIS "
                 "(native RS kernel unavailable)")
         return pmis(S, seed=seed), note
     if coarsen_type not in (8,):
         note = (f"coarsen_type {coarsen_type} mapped to PMIS "
-                "(data-parallel TPU policy)")
+                "(CLJP-family independent-set coarsening, "
+                "data-parallel TPU policy)")
     return pmis(S, seed=seed), note

@@ -176,8 +176,14 @@ class LinearSystem:
                 # f32 twin by device-side cast — not a second assembly
                 self.A_lo = self.A.astype(np.float32)
             if self._needs_host_csr():
+                # multi-host runs stage only each host's row block; the
+                # host-side AMG/ILU setup needs the GLOBAL matrix — gather
+                # the blocks first (correct), never hand a partial CSR to
+                # setup (silently wrong hierarchy)
+                from tpusolve.mesh import allgather_host_coo
+                grows, gcols, gvals = allgather_host_coo(rows, cols, vals)
                 self.A_host = sp.csr_matrix(
-                    (vals, (rows, cols)), shape=(n, n))
+                    (gvals, (grows, gcols)), shape=(n, n))
                 self.A_host.sum_duplicates()
 
     def _host_range(self, n: int) -> tuple[int, int]:
@@ -381,21 +387,32 @@ class LinearSystem:
                     self.A, inner, tol=s.tolerance,
                     max_refine=int(s.extra.get("max_refine", 6)))
             return inner
+        # stationary methods follow the same precision policy as the
+        # Krylov paths: build on _A_solve (f32 under single/mixed), wrap
+        # mixed in f64 iterative refinement
+        inner_stat_tol = inner_tol if mixed else s.tolerance
         if method == "boomeramg":
             # AMG as the solver (ref: setup_boomeramg_solver,
             # src/HypreSystem.cpp:91-117) — reuse AMG's own tolerance keys
             pre = self._amg_solver_pre = boomeramg_setup(
-                self.A, self.config.boomeramg, A_host=self.A_host)
-            return lambda b, x0=None: pre.solve(
-                b, x0, tol=s.tolerance, maxiter=s.max_iterations)
-        if method == "ilu":
+                A, self.config.boomeramg, A_host=self.A_host)
+            inner = lambda b, x0=None: pre.solve(
+                b, x0, tol=inner_stat_tol, maxiter=s.max_iterations)
+        elif method == "ilu":
             # ILU as the solver (ref: setup_ilu, src/HypreSystem.cpp:457-497):
             # stationary iteration x += M(b - A x)
             from tpusolve.krylov.stationary import stationary_solve_setup
-            pre = ilu_setup(self.A, self.config.ilu, A_host=self.A_host)
-            return stationary_solve_setup(self.A, pre.apply, tol=s.tolerance,
-                                          maxiter=s.max_iterations)
-        raise ValueError(method)
+            pre = ilu_setup(A, self.config.ilu, A_host=self.A_host)
+            inner = stationary_solve_setup(A, pre.apply, tol=inner_stat_tol,
+                                           maxiter=s.max_iterations)
+        else:
+            raise ValueError(method)
+        if mixed:
+            from tpusolve.krylov.refine import refined_solve_setup
+            return refined_solve_setup(
+                self.A, inner, tol=s.tolerance,
+                max_refine=int(s.extra.get("max_refine", 6)))
+        return inner
 
     # ------------------------------------------------------------------
     def solve(self):
@@ -483,12 +500,21 @@ class LinearSystem:
                 Ah = self.A_host if self.A_host is not None else \
                     self.A.to_scipy()
                 Ac = Ah.tocoo()
-                ij.write_matrix(ls.output_matrix_name, Ac.row, Ac.col,
+                # under matrix_ordering the in-memory system lives in the
+                # permuted basis; files are written in the ORIGINAL index
+                # space so the (A, b, x) triple stays consistent (A@x = b)
+                # and matches the reference's numbering
+                arow, acol = Ac.row, Ac.col
+                if self._perm is not None:
+                    arow, acol = self._perm[arow], self._perm[acol]
+                ij.write_matrix(ls.output_matrix_name, arow, acol,
                                 Ac.data, offsets, ncols=self.A.shape[1])
                 for i, b in enumerate(self.rhs):
                     ij.write_vector(f"IJV{i}.rhs",
-                                    from_device_vector(b, self.A.row_offsets,
-                                                       self.A.row_pad),
+                                    self._permute_out(
+                                        from_device_vector(
+                                            b, self.A.row_offsets,
+                                            self.A.row_pad)),
                                     offsets)
             for i, x in enumerate(self.sln):
                 ij.write_vector(f"IJV{i}.sln",

@@ -42,13 +42,19 @@ except AttributeError:  # pragma: no cover
 # chosen by measurement on v5e (see kernels/bell.py docstring).
 BELL_IMPL = "xla"
 
-# Halo/compute overlap: when True (default) the halo all_to_all is issued
-# before the interior sweep with no data dependence between them, letting
-# XLA's async-collective scheduler run the ICI transfer under the local
-# compute (the comm-pkg overlap of the reference's generator,
+# Halo/compute overlap: when True the halo all_to_all is issued before the
+# interior sweep with no data dependence between them, letting XLA's
+# async-collective scheduler run the ICI transfer under the local compute
+# (the comm-pkg overlap of the reference's generator,
 # ref: laplace_3d_weak_scaling.hpp:412-602).  False serializes them with an
-# optimization_barrier — the measurement baseline.  Read at trace time.
-HALO_OVERLAP = True
+# optimization_barrier.  Read at trace time.
+#
+# Default OFF: no multi-chip hardware has been available to measure the
+# overlap (the virtual-mesh weak-scaling runs cannot exercise ICI — see
+# tools/weakscale.py), and an unmeasured scheduling default on the hottest
+# kernel is not worth the risk.  Flip to True (or measure with
+# tools/weakscale.py on a real slice) once evidence exists.
+HALO_OVERLAP = False
 
 
 def halo_exchange(x_loc, send_idx, ghost_slot, axis):

@@ -62,12 +62,30 @@ def init_distributed(coordinator: str | None = None,
     (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``,
     or the TPU metadata on Cloud TPU pods).  Returns True when a
     multi-process runtime was initialized, False for the single-process
-    fallback (no coordinator configured).
+    fallback.
+
+    Multi-host is strictly *opt-in*: we initialize only when an explicit
+    coordinator address is given (argument or ``JAX_COORDINATOR_ADDRESS``)
+    or when ``TPU_WORKER_HOSTNAMES`` names more than one host.  Single-host
+    TPU VMs set ``TPU_WORKER_HOSTNAMES=localhost`` with no coordinator, so
+    gating on its mere presence would crash the CLI there (round-2
+    regression).  Any failure falls back to single-process with a warning
+    rather than killing the run.
     """
     import os
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coordinator is None and os.environ.get("TPU_WORKER_HOSTNAMES") is None:
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    n_hosts = len([h for h in hostnames.split(",") if h.strip()])
+    if coordinator is None and n_hosts <= 1:
         return False  # single-process run: nothing to do
+    try:
+        from jax._src import xla_bridge
+        if xla_bridge.backends_are_initialized():
+            # Backend already up (library use, tests): too late to go
+            # multi-process; stay single-process rather than raising.
+            return False
+    except (ImportError, AttributeError):
+        pass
     kwargs = {}
     if coordinator is not None:
         kwargs["coordinator_address"] = coordinator
@@ -75,7 +93,14 @@ def init_distributed(coordinator: str | None = None,
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError) as e:  # pragma: no cover - env specific
+        import warnings
+        warnings.warn(
+            f"tpusolve: multi-process init failed ({e}); continuing "
+            "single-process")
+        return False
     return True
 
 
@@ -111,6 +136,47 @@ def host_row_range(mesh: Mesh, offsets: np.ndarray) -> tuple[int, int]:
     if not local:
         return 0, -1
     return int(offsets[min(local)]), int(offsets[max(local) + 1] - 1)
+
+
+def allgather_host_coo(rows: np.ndarray, cols: np.ndarray,
+                       vals: np.ndarray) -> tuple:
+    """Gather per-host COO row blocks into the global triple on every host.
+
+    The sharded readers stage only each host's ``host_row_range`` rows (the
+    analog of the reference's per-rank overlap-filtered reads,
+    src/HypreSystem.cpp:1203-1236), but host-side factorization (AMG/ILU
+    setup) needs the *global* matrix — the reference's setup is distributed
+    inside HYPRE (src/HypreSystem.cpp:600-636, 692).  This allgather is the
+    correctness bridge: cheap (one DCN round of the raw triples) relative to
+    the setup it feeds.  No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return rows, cols, vals
+    from jax.experimental import multihost_utils
+
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals, np.float64)
+    lens = multihost_utils.process_allgather(
+        np.array([rows.size], np.int64)).ravel()
+    maxlen = int(lens.max())
+
+    def _pad(a):
+        out = np.zeros(maxlen, a.dtype)
+        out[:a.size] = a
+        return out
+
+    gr = np.asarray(multihost_utils.process_allgather(_pad(rows)))
+    gc = np.asarray(multihost_utils.process_allgather(_pad(cols)))
+    gv = np.asarray(multihost_utils.process_allgather(_pad(vals)))
+    parts_r, parts_c, parts_v = [], [], []
+    for p in range(gr.shape[0]):
+        k = int(lens[p])
+        parts_r.append(gr[p, :k])
+        parts_c.append(gc[p, :k])
+        parts_v.append(gv[p, :k])
+    return (np.concatenate(parts_r), np.concatenate(parts_c),
+            np.concatenate(parts_v))
 
 
 def compute_3d_process_distribution(nparts: int) -> tuple[int, int, int]:

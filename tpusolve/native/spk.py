@@ -148,8 +148,11 @@ def sampled_transpose(B: sp.csr_matrix, Pat: sp.csr_matrix) -> np.ndarray | None
     if lib is None or not _fits(B, Pat):
         return None
     B = B.tocsr()
+    # never sort in place: B may share indices/indptr with a caller matrix
+    # whose data would silently desynchronize — decline and let the numpy
+    # fallback handle unsorted input (mirrors pattern_mask)
     if not B.has_sorted_indices:
-        B.sort_indices()
+        return None
     Pat = Pat.tocsr()
     n = Pat.shape[0]
     Bp, Bj, Bx = _csr_args(B)
