@@ -132,10 +132,18 @@ class AMGPreconditioner:
 
 
 def _sharded_from_scipy(mesh, M: sp.spmatrix, dtype, row_offsets=None,
-                        col_offsets=None) -> ShardedMatrix:
+                        col_offsets=None,
+                        allow_tiles: bool = True) -> ShardedMatrix:
+    """``allow_tiles=False`` forces the plain padded-ELL layout.  Used for
+    P/R: transfer operators average ~2-4 entries/row, so the dense-tile
+    layouts (BELL/BDIA) expand them 40-60x (P at 128^3: 35 MB of entries ->
+    a 6.4 GB tile array; 51 GB at 256^3) — unaffordable in HBM and the
+    dominant cost of the whole setup phase to build.  Square coarse
+    operators are denser per row and keep the full layout selection."""
     return ShardedMatrix.from_csr_host(
         mesh, M.tocsr(), dtype=dtype, row_offsets=row_offsets,
-        col_offsets=col_offsets)
+        col_offsets=col_offsets, allow_bell=allow_tiles,
+        allow_bdia=allow_tiles)
 
 
 # dense coarse solve guard: above this size the replicated (Npad_c^2) pinv
@@ -266,10 +274,12 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
         col_off = row_decomposition(nc, A_sh.nparts)
         lev.P = _sharded_from_scipy(mesh, P_host, dtype,
                                     row_offsets=row_off,
-                                    col_offsets=col_off)
+                                    col_offsets=col_off,
+                                    allow_tiles=False)
         lev.R = _sharded_from_scipy(mesh, P_host.T.tocsr(), dtype,
                                     row_offsets=col_off,
-                                    col_offsets=row_off)
+                                    col_offsets=row_off,
+                                    allow_tiles=False)
         _phase("P/R device assembly")
         levels.append(lev)
 

@@ -26,14 +26,49 @@ kernels whenever their output shapes coincide.
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 # Outputs at least this large are scatter-built on device; smaller ones are
-# filled on host (a device build costs one XLA compilation per new shape).
-DEVICE_BUILD_MIN_BYTES = 64 << 20
+# filled on host.  The tradeoff is environment-dependent:
+#
+# * a device build costs one XLA compilation per new output shape — measured
+#   ~7 s per shape through remote-compile relays (axon tunnel), ~0.5 s on a
+#   directly-attached TPU.  AMG hierarchies produce a fresh shape per level,
+#   so naive device builds pay that compile per level per array.
+# * a host build costs first-touch page faults on the padded array plus the
+#   host->device transfer of the *expanded* bytes.  On paravirtual hosts with
+#   slow fault handling (measured ~45 us/4KB page on Firecracker-style VMs)
+#   a GB-scale host fill costs minutes; on this-class hosts it is ~2 us/page
+#   and a 1 GB fill + transfer is ~2 s.
+#
+# So the threshold is calibrated once at import-from-use time: probe the
+# host's page-touch rate and pick 64 MB (slow-fault hosts) or ~1.5 GB (fast
+# hosts).  TPUSOLVE_DEVICE_BUILD_MIN_MB overrides.
+_DEFAULT_MIN_BYTES = 64 << 20
+_threshold_cache: list = []
+
+
+def device_build_min_bytes() -> int:
+    if _threshold_cache:
+        return _threshold_cache[0]
+    env = os.environ.get("TPUSOLVE_DEVICE_BUILD_MIN_MB")
+    if env is not None:
+        val = int(float(env) * (1 << 20))
+    else:
+        # touch one page per 4 KB of a fresh 32 MB allocation
+        probe = np.zeros(8 << 20, np.float32)
+        t0 = time.perf_counter()
+        probe[::1024] = 1.0
+        per_page = (time.perf_counter() - t0) / (len(probe) // 1024)
+        val = _DEFAULT_MIN_BYTES if per_page > 8e-6 else (1536 << 20)
+    _threshold_cache.append(val)
+    return val
 
 
 def _pow2ceil(x: int) -> int:
@@ -80,16 +115,25 @@ def materialize_sharded(mesh, axis, idx_parts, val_parts, shape_tail, dtype):
     total_bytes = nparts * per_size * dtype.itemsize
     sharding = NamedSharding(mesh, P(axis))
 
-    want_device = total_bytes >= DEVICE_BUILD_MIN_BYTES and per_size < 2**31
+    want_device = total_bytes >= device_build_min_bytes() and per_size < 2**31
     if want_device and dtype == np.float64 and not jax.config.jax_enable_x64:
         want_device = False  # jnp would silently downcast the staging values
 
+    log_on = os.environ.get("TPUSOLVE_SETUP_LOG", "0") == "1"
     if not want_device:
+        t0 = time.perf_counter()
         out = np.zeros((nparts, per_size), dtype)
         for p in range(nparts):
             if len(idx_parts[p]):
                 out[p][np.asarray(idx_parts[p])] = val_parts[p]
-        return jax.device_put(out.reshape((nparts,) + shape_tail), sharding)
+        t1 = time.perf_counter()
+        res = jax.device_put(out.reshape((nparts,) + shape_tail), sharding)
+        if log_on and total_bytes > (64 << 20):
+            res.block_until_ready()
+            print(f"      materialize host {total_bytes/1e6:.0f}MB "
+                  f"fill {t1 - t0:.2f}s put {time.perf_counter() - t1:.2f}s",
+                  flush=True)
+        return res
 
     nnz_pad = _pow2ceil(max(1, max(len(i) for i in idx_parts)))
     idx_st = np.full((nparts, nnz_pad), -1, np.int32)

@@ -16,17 +16,22 @@ def _compile(src: str, lib_path: str) -> str | None:
     # atomic build: compile to a temp name, rename into place
     fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
     os.close(fd)
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, lib_path)
-        return lib_path
-    except (OSError, subprocess.SubprocessError):
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+            src, "-o", tmp]
+    # prefer native codegen (vector ISA) but fall back for odd toolchains
+    for extra in (["-march=native", "-funroll-loops"], []):
+        cmd = base[:1] + extra + base[1:]
         try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        return None
+            subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+            os.replace(tmp, lib_path)
+            return lib_path
+        except (OSError, subprocess.SubprocessError):
+            continue
+    try:
+        os.unlink(tmp)
+    except OSError:
+        pass
+    return None
 
 
 def load_native(name: str, configure) -> "ctypes.CDLL | None":
