@@ -183,6 +183,8 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
     from jax import lax
+    from tpusolve.runtime import enable_compile_cache
+    enable_compile_cache()
     from tpusolve.mesh import make_mesh
     from tpusolve.stencil import laplace27
     from tpusolve.matrix.spmv import spmv

@@ -37,17 +37,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
     # persistent XLA compilation cache: repeat runs skip the (tens of
     # seconds per kernel on remote-compile backends) compile phase
-    cache_dir = cfg.solver.extra.get(
-        "compilation_cache_dir",
-        __import__("os").environ.get("TPUSOLVE_COMPILE_CACHE",
-                                     "/tmp/tpusolve_xla_cache"))
-    if cache_dir:
-        try:
-            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
-        except Exception:
-            pass
+    from tpusolve.runtime import enable_compile_cache
+    enable_compile_cache(cfg.solver.extra.get("compilation_cache_dir"))
 
     from tpusolve.mesh import make_mesh, init_distributed
     from tpusolve.harness.system import LinearSystem

@@ -96,7 +96,8 @@ def compact(lr, lc, v, row_pad: int, col_pad: int, R: int, dmax: int,
     starts = np.full((B, dmax), _SENTINEL, np.int64)
     lr = np.asarray(lr, np.int64)
     if lr.size == 0:
-        starts[:] = 0
+        starts[:] = np.clip(np.arange(B, dtype=np.int64) * R, 0,
+                            max(0, col_pad - R))[:, None]
         return starts, np.zeros(0, np.int64), np.zeros(0, dtype)
     d = np.asarray(lc, np.int64) - lr
     v = np.asarray(v, dtype)
@@ -119,8 +120,14 @@ def compact(lr, lc, v, row_pad: int, col_pad: int, R: int, dmax: int,
     slot = slot_in_blk[slot_of_key]
     lro, vo = lr[order], v[order]
     flat_idx = (lro // R * dmax + slot) * R + lro % R
-    # unused slots: park them on window 0 (vals are zero there)
-    starts[starts == _SENTINEL] = 0
+    # unused slots: park them on a window near the block's own diagonal
+    # (vals are zero there, so any in-range window works) — parking at a
+    # *nearby* window keeps each block's window span tight, which the
+    # panel-streaming (XL) kernel relies on
+    park = np.clip(np.arange(B, dtype=np.int64) * R, 0,
+                   max(0, col_pad - R))
+    parked = starts == _SENTINEL
+    starts = np.where(parked, park[:, None], starts)
     return starts, flat_idx, vo
 
 
@@ -199,6 +206,146 @@ def _bdia_kernel(starts_ref, x2d_ref, vals_ref, out_ref, *, d: int, rr: int,
         return _
 
     lax.fori_loop(0, gb, block, None)
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, int(x) - 1).bit_length()
+
+
+def plan_panels(starts_adj: np.ndarray, R: int, gb: int = _PALLAS_GB):
+    """Panel plan for the XL (x-streaming) kernel.
+
+    For each grid step (``gb`` consecutive R-row blocks) the kernel DMAs one
+    contiguous panel of the lane-matrix view of x from HBM into VMEM; this
+    works because banded (RCM-ordered) matrices keep every block's window
+    starts within a narrow span.  Returns ``(rowstart, pxrows, xrows_min)``:
+    per-step first panel row (int32, one per step plus a trailing repeat for
+    the prefetch lookahead), the pow2-padded panel height, and the minimum
+    padded row count of the x lane-matrix.
+    """
+    B, D = starts_adj.shape
+    rr = R // LANE
+    Bp = ((B + gb - 1) // gb) * gb
+    if Bp != B:  # pad with the last block's starts (keeps spans tight)
+        starts_adj = np.concatenate(
+            [starts_adj, np.repeat(starts_adj[-1:], Bp - B, axis=0)])
+    rows = (starts_adj // LANE).reshape(-1, gb, D)
+    min_r = rows.min(axis=(1, 2))
+    max_r = rows.max(axis=(1, 2))
+    span = int((max_r - min_r).max()) + rr + 1
+    pxrows = max(8, _pow2ceil(span))
+    rowstart = np.concatenate([min_r, min_r[-1:]]).astype(np.int32)
+    xrows_min = int(rowstart.max()) + pxrows
+    return rowstart, pxrows, xrows_min
+
+
+def model_time_xl_s(B: int, D: int, R: int, pxrows: int, itemsize: int,
+                    gb: int = _PALLAS_GB) -> float:
+    """Predicted per-SpMV seconds for the XL layout: vals stream once,
+    plus one x panel per grid step."""
+    nsteps = (B + gb - 1) // gb
+    stream = (B * D * R + nsteps * pxrows * LANE) * itemsize / \
+        (HBM_GBPS * 1e9)
+    per_slot = (UNROLLED_SLOT_NS + UNROLLED_PER_ROW_NS * R / 128.0
+                if D <= UNROLL_MAX
+                else SLOT_FIXED_NS + SLOT_PER_ROW_NS * R / 128.0)
+    return max(stream, B * D * per_slot * 1e-9)
+
+
+def _bdia_kernel_xl(rowstart_ref, starts_ref, vals_ref, x_hbm_ref, out_ref,
+                    xbuf, sem, *, d: int, rr: int, gb: int, pxrows: int,
+                    nsteps: int):
+    """XL grid step: DMA this step's x panel (double-buffered: the next
+    step's panel is prefetched during compute), then the same per-slot
+    rotate-FMA as the whole-x kernel with rows rebased to the panel."""
+    i = pl.program_id(0)
+    two = jnp.int32(2)
+    one = jnp.int32(1)
+    slot = lax.rem(i, two)
+
+    def dma(j, s):
+        return pltpu.make_async_copy(
+            x_hbm_ref.at[pl.ds(rowstart_ref[j], pxrows), :],
+            xbuf.at[s], sem.at[s])
+
+    @pl.when(i == 0)
+    def _warm():
+        dma(0, 0).start()
+
+    @pl.when(i + one < nsteps)
+    def _prefetch():
+        dma(i + one, lax.rem(i + one, two)).start()
+
+    dma(i, slot).wait()
+
+    base = rowstart_ref[i]
+    lanes = lax.broadcasted_iota(jnp.int32, (rr, LANE), 1)
+
+    def block(g, _):
+        def slotf(dd, acc):
+            s = starts_ref[g, dd]
+            lane = jnp.int32(LANE)
+            row = lax.div(s, lane) - base
+            rem = lax.rem(s, lane)
+            seg = xbuf[slot, pl.ds(row, rr + 1), :]       # (rr+1, 128)
+            rot = pltpu.roll(seg, lax.rem(lane - rem, lane), 1)
+            win = jnp.where(lanes < LANE - rem, rot[:rr], rot[1:rr + 1])
+            v = vals_ref[g, dd].reshape(rr, LANE)
+            return acc + v * win
+        acc = lax.fori_loop(0, d, slotf,
+                            jnp.zeros((rr, LANE), vals_ref.dtype),
+                            unroll=(d if d <= UNROLL_MAX else 1))
+        out_ref[g] = acc.reshape(-1)
+        return _
+    lax.fori_loop(0, gb, block, None)
+
+
+def bdia_spmv_pallas_xl(vals, starts, rowstart, pxrows: int, xrows: int, x,
+                        xpad_lo: int, xlen: int, row_pad: int,
+                        interpret: bool = False, vma=None):
+    """Panel-streaming BDIA SpMV: x lives in HBM; each grid step DMAs the
+    panel covering its blocks' windows.  Lifts the whole-x kernel's
+    x-fits-in-VMEM (~12 MB => ~3M f32 rows/shard) limit to gate-3 shard
+    sizes (10M+ rows) for banded matrices.  ``xrows`` is the static padded
+    row count of the x lane-matrix (>= plan_panels xrows_min)."""
+    if not HAVE_PALLAS:  # pragma: no cover
+        return bdia_spmv_local(vals, starts, x, xpad_lo, xlen, row_pad)
+    B, D, R = vals.shape
+    rr = R // LANE
+    gb = _PALLAS_GB
+    Bp = ((B + gb - 1) // gb) * gb
+    nsteps = Bp // gb
+    if Bp != B:
+        vals = jnp.pad(vals, ((0, Bp - B), (0, 0), (0, 0)))
+        # pad with the last block's starts: inside its step's panel
+        starts = jnp.concatenate(
+            [starts, jnp.repeat(starts[-1:], Bp - B, axis=0)])
+    xp = jnp.pad(x, (xpad_lo, max(0, xlen - xpad_lo - x.shape[0])))
+    xp = jnp.pad(xp, (0, xrows * LANE - xp.shape[0]))
+    x2d = xp.reshape(xrows, LANE)
+    y = pl.pallas_call(
+        functools.partial(_bdia_kernel_xl, d=D, rr=rr, gb=gb,
+                          pxrows=pxrows, nsteps=nsteps),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # rowstart whole
+            pl.BlockSpec((gb, D), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),       # window starts
+            pl.BlockSpec((gb, D, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),       # coefficient stream
+            pl.BlockSpec(memory_space=pltpu.ANY),        # x2d stays in HBM
+        ],
+        out_specs=pl.BlockSpec((gb, R), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, R), vals.dtype,
+                                       vma=frozenset(vma) if vma else None),
+        scratch_shapes=[
+            pltpu.VMEM((2, pxrows, LANE), vals.dtype),   # panel double-buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(rowstart, starts, vals, x2d)
+    return y.reshape(-1)[:row_pad]
 
 
 def bdia_spmv_pallas(vals, starts, x, xpad_lo: int, xlen: int, row_pad: int,

@@ -35,40 +35,30 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 # Outputs at least this large are scatter-built on device; smaller ones are
-# filled on host.  The tradeoff is environment-dependent:
+# filled on host.  The device path is strictly better for large layouts:
 #
-# * a device build costs one XLA compilation per new output shape — measured
-#   ~7 s per shape through remote-compile relays (axon tunnel), ~0.5 s on a
-#   directly-attached TPU.  AMG hierarchies produce a fresh shape per level,
-#   so naive device builds pay that compile per level per array.
 # * a host build costs first-touch page faults on the padded array plus the
-#   host->device transfer of the *expanded* bytes.  On paravirtual hosts with
-#   slow fault handling (measured ~45 us/4KB page on Firecracker-style VMs)
-#   a GB-scale host fill costs minutes; on this-class hosts it is ~2 us/page
-#   and a 1 GB fill + transfer is ~2 s.
+#   host->device transfer of the *expanded* bytes.  On paravirtual hosts the
+#   fault rate degrades catastrophically with cumulative memory use
+#   (measured: 0.5 s/GB on a fresh VM -> >100 s/GB once tens of GB have been
+#   touched since boot), so GB-scale host fills are never safe.
+# * a device build transfers only the compact nnz-sized staging and writes
+#   the padded layout at HBM speed.  Its one cost is an XLA compilation per
+#   new scatter shape (~7 s through remote-compile relays) — amortized by
+#   (a) pow2-bucketing both the staging length and the flat output size so
+#   hierarchy levels share compiled kernels, and (b) the persistent
+#   compilation cache (tpusolve.runtime.enable_compile_cache), which makes
+#   repeat shapes ~0.2 s across processes.
 #
-# So the threshold is calibrated once at import-from-use time: probe the
-# host's page-touch rate and pick 64 MB (slow-fault hosts) or ~1.5 GB (fast
-# hosts).  TPUSOLVE_DEVICE_BUILD_MIN_MB overrides.
+# TPUSOLVE_DEVICE_BUILD_MIN_MB overrides the threshold.
 _DEFAULT_MIN_BYTES = 64 << 20
-_threshold_cache: list = []
 
 
 def device_build_min_bytes() -> int:
-    if _threshold_cache:
-        return _threshold_cache[0]
     env = os.environ.get("TPUSOLVE_DEVICE_BUILD_MIN_MB")
     if env is not None:
-        val = int(float(env) * (1 << 20))
-    else:
-        # touch one page per 4 KB of a fresh 32 MB allocation
-        probe = np.zeros(8 << 20, np.float32)
-        t0 = time.perf_counter()
-        probe[::1024] = 1.0
-        per_page = (time.perf_counter() - t0) / (len(probe) // 1024)
-        val = _DEFAULT_MIN_BYTES if per_page > 8e-6 else (1536 << 20)
-    _threshold_cache.append(val)
-    return val
+        return int(float(env) * (1 << 20))
+    return _DEFAULT_MIN_BYTES
 
 
 def _pow2ceil(x: int) -> int:
@@ -78,17 +68,18 @@ def _pow2ceil(x: int) -> int:
 _builder_cache: dict = {}
 
 
-def _scatter_builder(mesh, axis, shape_tail, dtype, nnz_pad):
-    key = (id(mesh), axis, tuple(shape_tail), np.dtype(dtype).str, nnz_pad)
+def _scatter_builder(mesh, axis, flat_pad, dtype, nnz_pad):
+    """Compiled scatter into a pow2-length flat shard.  Keyed on pow2 sizes
+    only, so AMG hierarchy levels of different true sizes share kernels."""
+    key = ("scat", id(mesh), axis, flat_pad, np.dtype(dtype).str, nnz_pad)
     fn = _builder_cache.get(key)
     if fn is not None:
         return fn
-    per_size = int(np.prod(shape_tail))
 
     def shard_fn(idx, vals):
-        flat = jnp.zeros((per_size,), dtype)
+        flat = jnp.zeros((flat_pad,), dtype)
         flat = flat.at[idx[0]].set(vals[0], mode="drop", unique_indices=True)
-        return flat.reshape((1,) + tuple(shape_tail))
+        return flat.reshape((1, flat_pad))
 
     spec = P(axis)
     try:
@@ -97,6 +88,22 @@ def _scatter_builder(mesh, axis, shape_tail, dtype, nnz_pad):
         from jax.experimental.shard_map import shard_map as shard_map
     fn = jax.jit(shard_map(shard_fn, mesh=mesh,
                            in_specs=(spec, spec), out_specs=spec))
+    _builder_cache[key] = fn
+    return fn
+
+
+def _reshaper(mesh, axis, flat_pad, per_size, shape_tail, dtype, nparts):
+    """Trivial (cheap-to-compile) slice+reshape from the pow2 flat build to
+    the layout's true shape."""
+    key = ("resh", id(mesh), axis, flat_pad, per_size, tuple(shape_tail),
+           np.dtype(dtype).str)
+    fn = _builder_cache.get(key)
+    if fn is not None:
+        return fn
+    sharding = NamedSharding(mesh, P(axis))
+    fn = jax.jit(
+        lambda a: a[:, :per_size].reshape((nparts,) + tuple(shape_tail)),
+        out_shardings=sharding)
     _builder_cache[key] = fn
     return fn
 
@@ -135,7 +142,9 @@ def materialize_sharded(mesh, axis, idx_parts, val_parts, shape_tail, dtype):
                   flush=True)
         return res
 
+    t0 = time.perf_counter()
     nnz_pad = _pow2ceil(max(1, max(len(i) for i in idx_parts)))
+    flat_pad = _pow2ceil(per_size)
     idx_st = np.full((nparts, nnz_pad), -1, np.int32)
     val_st = np.zeros((nparts, nnz_pad), dtype)
     for p in range(nparts):
@@ -145,5 +154,16 @@ def materialize_sharded(mesh, axis, idx_parts, val_parts, shape_tail, dtype):
             val_st[p, :k] = val_parts[p]
     idx_d = jax.device_put(idx_st, sharding)
     val_d = jax.device_put(val_st, sharding)
-    fn = _scatter_builder(mesh, axis, shape_tail, dtype, nnz_pad)
-    return fn(idx_d, val_d)
+    fn = _scatter_builder(mesh, axis, flat_pad, dtype, nnz_pad)
+    flat = fn(idx_d, val_d)
+    if flat_pad == per_size and len(shape_tail) == 1:
+        res = flat
+    else:
+        res = _reshaper(mesh, axis, flat_pad, per_size, shape_tail, dtype,
+                        nparts)(flat)
+    if log_on and total_bytes > (64 << 20):
+        res.block_until_ready()
+        print(f"      materialize device {total_bytes/1e6:.0f}MB "
+              f"({nparts * nnz_pad * (4 + dtype.itemsize) / 1e6:.0f}MB "
+              f"staged) {time.perf_counter() - t0:.2f}s", flush=True)
+    return res

@@ -60,6 +60,17 @@ DIA_MIN_FILL = 0.2
 # and the dense-tile expansion stays within a sane memory budget per shard.
 BELL_MIN_NNZ = 20_000
 BELL_MAX_BYTES = 4 << 30
+# Dense-tile layouts also may not expand the compact nnz bytes by more than
+# this factor (plus a small-matrix floor): AMG coarse operators with
+# scattered sparsity can otherwise expand 30-60x, which is fine for one
+# shard's SpMV speed but unaffordable in HBM once a whole hierarchy (or a
+# 256^3-scale level) must coexist on 16 GB devices.
+TILE_MAX_EXPANSION = 12.0
+TILE_EXPANSION_FLOOR = 256 << 20
+
+# Shared VMEM budget for the BDIA kernels: x residency (whole-x) or panel
+# double-buffer (XL) plus the double-buffered coefficient stream.
+BDIA_VMEM_BUDGET = 13 << 20
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -102,6 +113,12 @@ class ShardedMatrix:
     mesh: jax.sharding.Mesh = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # --- BDIA-XL (panel-streaming kernel) extras; None -> whole-x kernel ---
+    bdia_rowstart: jax.Array | None = None  # (Pn, nsteps+1) int32 panel rows
+    bdia_pxrows: int | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    bdia_xrows: int | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     # ------------------------------------------------------------------
     @property
@@ -244,6 +261,7 @@ class ShardedMatrix:
         diag_parts, offd_parts = [], []
         dia_offset_sets = []
         total_diag_nnz = 0
+        d_min = d_max = 0   # global (col - row) offset bounds of diag blocks
         for p in range(nparts):
             lr, gc, v = parts[p]
             lr = np.asarray(lr, np.int64)
@@ -255,6 +273,10 @@ class ShardedMatrix:
             diag_parts.append((dlr, dlc, dv))
             offd_parts.append((lr[~is_diag], gc[~is_diag], v[~is_diag]))
             total_diag_nnz += dlr.size
+            if dlr.size:
+                d = dlc - dlr
+                d_min = min(d_min, int(d.min()))
+                d_max = max(d_max, int(d.max()))
             if allow_dia and same_partition and dlr.size:
                 dia_offset_sets.append(np.unique(dlc - dlr))
 
@@ -287,6 +309,10 @@ class ShardedMatrix:
         use_bdia = False
         bdia_R = bdia_D = 0
         itemsize = np.dtype(dtype).itemsize
+        tile_budget = min(BELL_MAX_BYTES,
+                          max(TILE_EXPANSION_FLOOR,
+                              int(TILE_MAX_EXPANSION *
+                                  total_diag_nnz * itemsize)))
         if not use_dia and total_diag_nnz >= BELL_MIN_NNZ:
             bell_time = bdia_time = float("inf")
             if allow_bell:
@@ -296,25 +322,49 @@ class ShardedMatrix:
                 G = bell_mod._ngroups(row_pad)
                 tile_bytes = nparts * G * bk * bell_mod.TM * bell_mod.TN * \
                     itemsize
-                if bk > 0 and tile_bytes <= BELL_MAX_BYTES:
+                if bk > 0 and tile_bytes <= tile_budget:
                     bell_time = 1.125 * tile_bytes / (550e9 * nparts)
-            # BDIA's pallas kernel holds the local x in VMEM (~16 MB/core)
-            if allow_bdia and col_pad * itemsize <= (12 << 20):
+            # BDIA kernels: "whole" holds the padded local x in VMEM;
+            # "xl" streams x panels from HBM (banded matrices only) and so
+            # has no x-size limit.  One shared VMEM budget covers the x
+            # residency plus the double-buffered coefficient stream
+            # (bounding the true xlen by the offset extremes, not just
+            # col_pad — the whole-x kernel's buffer is xlen, which exceeds
+            # col_pad by the bandwidth).
+            bdia_mode = None
+            if allow_bdia:
                 from tpusolve.kernels import bdia as bdia_mod
+                gb = bdia_mod._PALLAS_GB
+                LANEb = bdia_mod.LANE
+                VMEM_BUDGET = BDIA_VMEM_BUDGET
                 for R in bdia_mod.BLOCK_SIZES:
                     D = max((bdia_mod.plan_d(dp[0], dp[1], row_pad,
                                              col_pad, R)
                              for dp in diag_parts), default=0)
                     B = (row_pad + R - 1) // R
                     nbytes = nparts * B * D * R * itemsize
-                    # grid-step VMEM: gb blocks of (D, R) double-buffered
-                    vmem_ok = 8 * D * R * itemsize * 2 <= (8 << 20)
-                    if D <= 0 or nbytes > BELL_MAX_BYTES or not vmem_ok:
+                    if D <= 0 or nbytes > tile_budget:
                         continue
-                    t = bdia_mod.model_time_s(B, D, R, itemsize)
+                    rr = R // LANEb
+                    stream_vmem = 2 * gb * D * R * itemsize
+                    xlen_bound = (max(col_pad, row_pad + max(0, d_max) + R)
+                                  - min(0, d_min))
+                    if xlen_bound * itemsize + stream_vmem <= VMEM_BUDGET:
+                        t = bdia_mod.model_time_s(B, D, R, itemsize)
+                        mode = "whole"
+                    else:
+                        span = ((d_max - d_min + gb * R) // LANEb
+                                + rr + 2)
+                        pxrows = max(8, bdia_mod._pow2ceil(span))
+                        if (2 * pxrows * LANEb * itemsize + stream_vmem
+                                > VMEM_BUDGET):
+                            continue
+                        t = bdia_mod.model_time_xl_s(B, D, R, pxrows,
+                                                     itemsize)
+                        mode = "xl"
                     if t < bdia_time:
                         bdia_time = t
-                        bdia_R, bdia_D = R, D
+                        bdia_R, bdia_D, bdia_mode = R, D, mode
             if bdia_time <= bell_time and bdia_time < float("inf"):
                 use_bdia = True
             elif bell_time < float("inf"):
@@ -360,6 +410,22 @@ class ShardedMatrix:
             bdia_starts = (starts_raw + bdia_xpad).astype(np.int32)
             bdia_vals = materialize_sharded(mesh, axis, s_idx, s_val,
                                             (Bb, bdia_D, bdia_R), dtype)
+            if bdia_mode == "xl":
+                rr = bdia_R // bdia_mod.LANE
+                plans = [bdia_mod.plan_panels(bdia_starts[p], bdia_R)
+                         for p in range(nparts)]
+                bdia_pxrows = max(pl_[1] for pl_ in plans)
+                base_rows = (bdia_xlen + bdia_mod.LANE - 1) \
+                    // bdia_mod.LANE + rr + 1
+                # shard-uniform panel height: re-derive the x row bound
+                # from each shard's last panel start + the global height
+                bdia_xrows = max([base_rows] +
+                                 [int(pl_[0].max()) + bdia_pxrows
+                                  for pl_ in plans])
+                bdia_rowstart = np.stack([pl_[0] for pl_ in plans])
+            else:
+                bdia_rowstart = None
+                bdia_pxrows = bdia_xrows = None
             dvals = np.zeros((nparts, row_pad, 1), dtype)
             dcols = np.zeros((nparts, row_pad, 1), np.int32)
             kd = 1
@@ -367,6 +433,8 @@ class ShardedMatrix:
             bdia_vals = bdia_starts = None
             bdia_xpad = bdia_xlen = None
             bdia_R = None
+            bdia_rowstart = None
+            bdia_pxrows = bdia_xrows = None
         if use_dia:
             D = dia_union.size
             d_idx, d_val = [], []
@@ -435,6 +503,8 @@ class ShardedMatrix:
             bell_ids=put(bids) if use_bell else None,
             bdia_vals=put(bdia_vals) if use_bdia else None,
             bdia_starts=put(bdia_starts) if use_bdia else None,
+            bdia_rowstart=(put(bdia_rowstart)
+                           if bdia_rowstart is not None else None),
             offd_vals=put(ovals), offd_cols=put(ocols),
             send_idx=put(send_idx), ghost_slot=put(ghost_slot),
             diag=put(diag_main),
@@ -446,6 +516,7 @@ class ShardedMatrix:
                        if dia_shape is not None else None),
             bell_nwin=bell_nwin,
             bdia_block=bdia_R, bdia_xpad=bdia_xpad, bdia_xlen=bdia_xlen,
+            bdia_pxrows=bdia_pxrows, bdia_xrows=bdia_xrows,
             has_offd=offd_nnz > 0,
             mesh=mesh, axis=axis, nnz=nnz)
 

@@ -168,6 +168,22 @@ def _spmv_shard_bdia(axis, xpad, xlen, row_pad, has_offd, impl, bv, bs, ov,
     return interior(x_loc)
 
 
+def _spmv_shard_bdia_xl(axis, xpad, xlen, row_pad, pxrows, xrows, has_offd,
+                        impl, bv, bs, rs, ov, oc, sidx, gslot, x_loc):
+    from tpusolve.kernels import bdia as bdia_mod
+    bv, bs, rs, ov, oc, sidx, gslot = (
+        a[0] for a in (bv, bs, rs, ov, oc, sidx, gslot))
+    if impl == "pallas":
+        interior = lambda x: bdia_mod.bdia_spmv_pallas_xl(
+            bv, bs, rs, pxrows, xrows, x, xpad, xlen, row_pad, vma=(axis,))
+    else:
+        interior = lambda x: bdia_mod.bdia_spmv_local(bv, bs, x, xpad,
+                                                      xlen, row_pad)
+    if has_offd:
+        return _offd_add(axis, x_loc, interior, ov, oc, sidx, gslot)
+    return interior(x_loc)
+
+
 def _spmv_shard_bell(axis, nwin, row_pad, has_offd, impl, bv, bi, ov, oc,
                      sidx, gslot, x_loc):
     from tpusolve.kernels import bell as bell_mod
@@ -210,6 +226,15 @@ def spmv(A, x):
         # lane-rotation pallas kernel on TPU; the XLA window-gather
         # formulation elsewhere (CPU tests)
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if A.bdia_rowstart is not None:
+            # XL variant: x stays in HBM, panels DMA'd per grid step
+            fn = shard_map(
+                partial(_spmv_shard_bdia_xl, A.axis, A.bdia_xpad,
+                        A.bdia_xlen, A.row_pad, A.bdia_pxrows, A.bdia_xrows,
+                        A.has_offd, impl),
+                mesh=A.mesh, in_specs=(spec,) * 8, out_specs=spec)
+            return fn(A.bdia_vals, A.bdia_starts, A.bdia_rowstart,
+                      A.offd_vals, A.offd_cols, A.send_idx, A.ghost_slot, x)
         fn = shard_map(
             partial(_spmv_shard_bdia, A.axis, A.bdia_xpad, A.bdia_xlen,
                     A.row_pad, A.has_offd, impl),
