@@ -1,0 +1,98 @@
+"""Device-side level-0 AMG setup (amg/device_setup.py) vs the host pipeline.
+
+The device path mirrors the host algorithms exactly (same formulas, same
+seeded PMIS tie-breaks), so hierarchies must match: identical C/F splits,
+bit-identical P, coarse operators equal to roundoff.  The reference runs its
+whole setup on device inside HYPRE_BoomerAMGSetup (src/HypreSystem.cpp:692);
+here the fine level (the 8x-dominant cost) is the device stage.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpusolve.amg import device_setup
+from tpusolve.amg.builder import boomeramg_setup
+from tpusolve.config import BoomerAMGConfig
+from tpusolve.stencil import laplace27
+
+
+def _tosp(M):
+    return M.to_scipy().tocsr() if hasattr(M, "to_scipy") else sp.csr_matrix(M)
+
+
+def _setup_pair(mesh, n, cfg):
+    """Run boomeramg_setup twice: device fine level vs all-host."""
+    A, b, _ = laplace27(mesh, n, n, n, dtype=np.float64)
+    os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"] = "1"
+    try:
+        assert device_setup.eligible(A, cfg), "device path must be eligible"
+        pre_dev = boomeramg_setup(A, cfg)
+        os.environ["TPUSOLVE_HOST_SETUP"] = "1"
+        try:
+            pre_host = boomeramg_setup(A, cfg)
+        finally:
+            del os.environ["TPUSOLVE_HOST_SETUP"]
+    finally:
+        del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
+    return A, b, pre_dev, pre_host
+
+
+class TestHierarchyParity:
+    @pytest.mark.parametrize("interp_type", [0, 3])
+    def test_identical_hierarchy(self, mesh1, interp_type):
+        cfg = BoomerAMGConfig(max_coarse_size=64, interp_type=interp_type)
+        A, b, pre_dev, pre_host = _setup_pair(mesh1, 16, cfg)
+        ld, lh = pre_dev.levels, pre_host.levels
+        assert len(ld) == len(lh)
+        for d, h in zip(ld, lh):
+            assert d.n == h.n and d.nnz == h.nnz
+        # identical C/F split -> bit-identical P on level 0
+        P_d, P_h = _tosp(ld[0].P), _tosp(lh[0].P)
+        assert (P_d != P_h).nnz == 0
+        # coarse operator equal to roundoff (different contraction order)
+        A1_d, A1_h = _tosp(ld[1].A), _tosp(lh[1].A)
+        d = abs(A1_d - A1_h)
+        assert (d.max() if d.nnz else 0.0) < 1e-10
+        # restriction is P^T
+        R_d = _tosp(ld[0].R)
+        dR = abs(R_d - P_h.T.tocsr())
+        assert (dR.max() if dR.nnz else 0.0) == 0.0
+
+    def test_solve_convergence_matches(self, mesh1):
+        from tpusolve.krylov.cg import pcg_setup
+        cfg = BoomerAMGConfig(max_coarse_size=64)
+        A, b, pre_dev, pre_host = _setup_pair(mesh1, 16, cfg)
+        rd = pcg_setup(A, pre_dev.apply, tol=1e-8, maxiter=60)(b)
+        rh = pcg_setup(A, pre_host.apply, tol=1e-8, maxiter=60)(b)
+        assert bool(rd.converged) and bool(rh.converged)
+        assert int(rd.iters) == int(rh.iters)
+
+    def test_ineligible_configs_fall_back(self, mesh1):
+        A, b, _ = laplace27(mesh1, 8, 8, 8, dtype=np.float64)
+        os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"] = "1"
+        try:
+            # aggressive coarsening is host-only
+            assert not device_setup.eligible(
+                A, BoomerAMGConfig(agg_num_levels=1))
+            # truncation is host-only
+            assert not device_setup.eligible(
+                A, BoomerAMGConfig(trunc_factor=0.2))
+            # serial RS coarsening needs the host pass
+            assert not device_setup.eligible(
+                A, BoomerAMGConfig(coarsen_type=6))
+            pre = boomeramg_setup(A, BoomerAMGConfig(coarsen_type=6,
+                                                     max_coarse_size=32))
+            assert pre.num_levels >= 2
+        finally:
+            del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
+
+    def test_host_setup_env_override(self, mesh1):
+        A, _, _ = laplace27(mesh1, 8, 8, 8, dtype=np.float64)
+        os.environ["TPUSOLVE_HOST_SETUP"] = "1"
+        try:
+            assert not device_setup.eligible(A, BoomerAMGConfig())
+        finally:
+            del os.environ["TPUSOLVE_HOST_SETUP"]

@@ -41,6 +41,7 @@ from tpusolve.amg import coarsen as coarsen_mod
 from tpusolve.amg import interp as interp_mod
 from tpusolve.amg import galerkin
 from tpusolve.amg import smoothers
+from tpusolve.amg import device_setup
 from tpusolve.krylov.common import SolveResult
 from tpusolve.krylov.stationary import stationary_solve_setup
 
@@ -205,15 +206,46 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
         notes.append(f"variant {cfg.variant} (Schwarz smoother variant) "
                      "not applicable: Schwarz smoothing maps to ILU(0)")
 
-    Ah = (A_host if A_host is not None else A.to_scipy()).tocsr()
-    Ah.sum_duplicates()
-
     min_coarse = cfg.min_coarse_size or 1
     max_coarse = max(cfg.max_coarse_size, min_coarse)
 
     levels: list[Level] = []
     A_sh = A
-    for lvl in range(cfg.max_levels):
+    Ah = None
+    lvl_start = 0
+
+    # --- device fine-level setup (amg/device_setup.py): DIA operators run
+    # strength/PMIS/interp/RAP on the TPU — the analog of the reference's
+    # on-device BoomerAMGSetup (src/HypreSystem.cpp:692) — and hand the 8x
+    # smaller coarse level back to this host pipeline.  Also the only path
+    # that never needs the fine host CSR (north-star problem sizes).
+    if (A.shape[0] > max_coarse and cfg.max_levels > 1
+            and device_setup.eligible(A, cfg)):
+        log = (lambda s: print(s, flush=True)) if log_on else None
+        if log_on:
+            print(f"  setup level 0 [device]: n={A.shape[0]} nnz={A.nnz}",
+                  flush=True)
+        res = device_setup.device_level0(A, cfg, seed=seed, log=log)
+        if res is not None and res["nc"] >= min_coarse:
+            lev = _make_level_device(mesh, A, res, kind_down, kind_up, cfg)
+            levels.append(lev)
+            Ah = res["Ah_c"]
+            A_sh = res["Ac"]
+            lvl_start = 1
+            note = ("level 0 setup on device (DIA offset algebra: "
+                    "strength/PMIS/interp/RAP as shifted streaming ops)")
+            notes.append(note)
+            if cfg.coarsen_type != 8:
+                notes.append(f"device setup: coarsen_type "
+                             f"{cfg.coarsen_type} runs PMIS (as in hypre's "
+                             "device setup)")
+        _t[0] = time.perf_counter()
+
+    if Ah is None:
+        Ah = (A_host if A_host is not None else A.to_scipy()).tocsr()
+        Ah.sum_duplicates()
+
+    for lvl in range(lvl_start, cfg.max_levels):
         n = Ah.shape[0]
         if n <= max_coarse or lvl == cfg.max_levels - 1:
             break
@@ -351,6 +383,26 @@ def _coarse_solver_data(mesh, Ah, A_sh, dtype, kind_coarse):
     # relaxation-based coarse solve: a (1,1) placeholder keeps the cycle
     # state pytree shape stable
     return replicated(mesh, np.zeros((1, 1), dtype))
+
+
+def _make_level_device(mesh, A_sh, res, kind_down, kind_up, cfg) -> Level:
+    """Level-0 construction from the device setup results (no host CSR)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharding = NamedSharding(mesh, P(A_sh.axis))
+    put = lambda a: jax.device_put(a, sharding)
+    kinds = (kind_down, kind_up)
+    dinv_l1 = (put(res["dinv_l1"])
+               if smoothers.RELAX_L1_JACOBI in kinds else None)
+    cheby_bounds = None
+    if smoothers.RELAX_CHEBYSHEV in kinds:
+        lam = device_setup.power_lambda(A_sh, put(res["dinv"]))
+        cheby_bounds = (cfg.cheby_fraction * lam, 1.1 * lam)
+    cmask = None
+    if cfg.relax_order == 1:
+        cmask = put(res["Cmask"].astype(A_sh.dtype))
+    return Level(A=A_sh, P=res["P"], R=res["R"], dinv_l1=dinv_l1,
+                 dinv=put(res["dinv"]), cmask=cmask,
+                 cheby_bounds=cheby_bounds, n=A_sh.shape[0], nnz=A_sh.nnz)
 
 
 def _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg,

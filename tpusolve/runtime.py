@@ -32,7 +32,9 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist even sub-second compiles: on remote-compile relays every
+        # eager op shape costs a round-trip, and setup dispatches hundreds
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - old jax without the knobs
         return None
     _enabled.append(str(cache_dir))
