@@ -70,6 +70,22 @@ class TestHierarchyParity:
         assert bool(rd.converged) and bool(rh.converged)
         assert int(rd.iters) == int(rh.iters)
 
+    def test_staged_interp_matches_fused(self, mesh1):
+        """The memory-bounded staged classical interp (big grids) must
+        produce the same hierarchy as the fused single-jit formulation."""
+        cfg = BoomerAMGConfig(max_coarse_size=64, interp_type=0)
+        os.environ["TPUSOLVE_INTERP_STAGED_MIN_BYTES"] = "1"
+        try:
+            A, b, pre_dev, pre_host = _setup_pair(mesh1, 12, cfg)
+        finally:
+            del os.environ["TPUSOLVE_INTERP_STAGED_MIN_BYTES"]
+        ld, lh = pre_dev.levels, pre_host.levels
+        assert len(ld) == len(lh)
+        for d, h in zip(ld, lh):
+            assert d.n == h.n and d.nnz == h.nnz
+        P_d, P_h = _tosp(ld[0].P), _tosp(lh[0].P)
+        assert (P_d != P_h).nnz == 0
+
     def test_ineligible_configs_fall_back(self, mesh1):
         A, b, _ = laplace27(mesh1, 8, 8, 8, dtype=np.float64)
         os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"] = "1"

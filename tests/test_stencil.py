@@ -96,3 +96,22 @@ class TestShardedStencil:
         # test_sharded_matches_scipy; here check ghosts are nonzero and
         # bounded by the full shell
         assert A.ghost_slot.shape[-1] <= 4 ** 3
+
+
+class TestDeviceGeneration:
+    def test_device_gen_bit_identical(self, mesh1):
+        """On-device generation (device=True) matches the host generator
+        exactly: values are -1/26/0, representable in any float."""
+        A1, b1, x1 = laplace27(mesh1, 12, 10, 9, dtype=np.float64)
+        A2, b2, x2 = laplace27(mesh1, 12, 10, 9, dtype=np.float64,
+                               device=True)
+        d = abs(A1.to_scipy() - A2.to_scipy())
+        assert (d.max() if d.nnz else 0.0) == 0.0
+        assert A1.nnz == A2.nnz
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+    def test_device_gen_rejects_multipart(self, mesh8):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            laplace27(mesh8, 4, 4, 4, device=True)

@@ -282,6 +282,123 @@ def _interp_planes(Av, Sm, comps, diag_slot, Cmask, interp_type):
     return jnp.stack(P)
 
 
+def _scan_table(factors, out_idx, nout, dims, dtype):
+    """Pow2-bucket the term table (dummy terms write to a discarded extra
+    plane) and run the scan contraction; returns the (nout, *dims) stack."""
+    T = len(out_idx)
+    Tpad = _pow2ceil_i(T)
+    zero = [0] * len(dims)
+    fpad = [(stack, list(idx) + [0] * (Tpad - T),
+             list(starts) + [zero] * (Tpad - T))
+            for stack, idx, starts in factors]
+    oo = list(out_idx) + [nout] * (Tpad - T)
+    out = _scan_accumulate(nout + 1, dims, dtype, fpad, oo)
+    return out[:nout]
+
+
+def _interp_classical_staged(Av, Sm, Cmask, comps, diag_slot):
+    """Classical-modified interpolation for big grids, memory-bounded.
+
+    The single-jit formulation (_interp_planes) materializes ~20 full plane
+    stacks at once (OOM at 256^3: each stack is 1.8 GB).  Here the two
+    distance-2 accumulations (the d_ik denominators and the strong-F
+    redistribution term) run as term-table scans touching 3 planes per
+    step; everything else is elementwise.  Same formulas, same per-output
+    accumulation order as the unrolled code."""
+    D = len(comps)
+    dims = tuple(Av.shape[1:])
+    dt = Av.dtype
+    m = 1
+    for_d = {tuple(c): i for i, c in enumerate(comps)}
+
+    # only the Ahat and Cmask factors are sliced at shifted starts; Sm and
+    # W slices are always interior, so they stay unpadded (a padded twin of
+    # each stack-sized factor costs ~2 GB at 256^3)
+    @jax.jit
+    def prep(Av, Cmask):
+        diag = Av[diag_slot]
+        Ahat = jnp.stack([jnp.where(Av[d] * diag < 0, Av[d], 0.0)
+                          for d in range(D)])
+        return _pad_stack(Ahat, m), _pad_stack(Cmask[None], m)
+
+    Ahatp, Cmp = prep(Av, Cmask)
+    zs = [m] * len(dims)
+    z0 = [0] * len(dims)
+
+    # Dden[df] = sum_dc strongC[dc] * shift(Ahat[e], df),  e = dc - df
+    # strongC[dc] = Sm[dc] * shift(Cmask, dc)
+    i_s, i_cm, i_a, s_cm, s_a, s_0, oo = [], [], [], [], [], [], []
+    for df in range(D):
+        for dc in range(D):
+            e = for_d.get(tuple(_comps_add(comps[dc],
+                                           _comps_neg(comps[df]))))
+            if e is None:
+                continue
+            i_s.append(dc)
+            i_cm.append(0)
+            i_a.append(e)
+            s_0.append(z0)
+            s_cm.append([m + c for c in comps[dc]])
+            s_a.append([m + c for c in comps[df]])
+            oo.append(df)
+    Dden = _scan_table([(Sm, i_s, s_0), (Cmp, i_cm, s_cm),
+                        (Ahatp, i_a, s_a)], oo, D, dims, dt)
+
+    @jax.jit
+    def mk_w(Av, Sm, Cmask, Dden):
+        diag = Av[diag_slot]
+        Fm = 1.0 - Cmask
+        W, dlump, sum_weak = [], 0.0, 0.0
+        for df in range(D):
+            strongF = Sm[df] * _shift(Fm, comps[df])
+            dead = strongF * (Dden[df] == 0)
+            dlump = dlump + Av[df] * dead
+            W.append(jnp.where(dead > 0, 0.0,
+                               strongF * Av[df]
+                               / jnp.where(Dden[df] != 0, Dden[df], 1.0)))
+            if df != diag_slot:
+                weak = (Av[df] != 0).astype(dt) * (1.0 - Sm[df])
+                sum_weak = sum_weak + Av[df] * weak
+        dii = diag + sum_weak + dlump
+        return jnp.stack(W), jnp.where(dii != 0, dii, 1.0)
+
+    W, dii = mk_w(Av, Sm, Cmask, Dden)
+    W.block_until_ready()
+    del Dden
+
+    # T[dc] = sum_df W[df] * shift(Ahat[e], df),  e = dc - df
+    i_w, i_a2, s_w, s_a2, oo2 = [], [], [], [], []
+    for dc in range(D):
+        for df in range(D):
+            e = for_d.get(tuple(_comps_add(comps[dc],
+                                           _comps_neg(comps[df]))))
+            if e is None:
+                continue
+            i_w.append(df)
+            i_a2.append(e)
+            s_w.append(z0)
+            s_a2.append([m + c for c in comps[df]])
+            oo2.append(dc)
+    T = _scan_table([(W, i_w, s_w), (Ahatp, i_a2, s_a2)], oo2, D, dims, dt)
+    T.block_until_ready()
+    del W, Ahatp, Cmp
+
+    @jax.jit
+    def mk_p(Av, Sm, Cmask, T, dii):
+        Fm = 1.0 - Cmask
+        P = []
+        for dc in range(D):
+            if dc == diag_slot:
+                P.append(Cmask.astype(dt))
+                continue
+            strongC = Sm[dc] * _shift(Cmask, comps[dc])
+            num = Av[dc] * strongC + strongC * T[dc]
+            P.append(Fm * (-num / dii))
+        return jnp.stack(P)
+
+    return mk_p(Av, Sm, Cmask, T, dii)
+
+
 def _pad_m(comps) -> int:
     """Per-axis pad covering every composite slice start (|-dp1| and
     |da - dp1| are both <= 2*max|c|)."""
@@ -353,10 +470,13 @@ def _rap_scan(Avp, Pvp, comps, chunk_dcs, groups, dims, dtype, m):
     oo += [len(chunk_dcs)] * npad           # dummy output plane
     s1 += [z] * npad
     s2 += [z] * npad
-    out = _scan_accumulate(len(chunk_dcs) + 1, dims, dtype,
-                           [(Pvp, i1, s1), (Avp, ia, s1), (Pvp, i2, s2)],
-                           oo)
-    return out[:len(chunk_dcs)]
+    # return the dummy plane too: slicing it off here would materialize a
+    # second stack-sized copy next to the scan carry (OOM margin at 256^3);
+    # the caller gathers the C rows first and drops the last row of the
+    # (chunk+1, nc) smalls instead
+    return _scan_accumulate(len(chunk_dcs) + 1, dims, dtype,
+                            [(Pvp, i1, s1), (Avp, ia, s1), (Pvp, i2, s2)],
+                            oo)
 
 
 def _pow2ceil_i(x: int) -> int:
@@ -384,16 +504,29 @@ from functools import partial
 @partial(jax.jit, static_argnames=("K",))
 def _pack_ell_jit(planes, cols_planes, K):
     """(Dp, n) value planes + int32 col planes -> (n, K) ELL pair, packing
-    each row's nonzeros first (order across planes preserved)."""
-    present = (planes != 0)
-    # stable order: nonzeros first
-    order = jnp.argsort(~present, axis=0, stable=True)
-    v_sorted = jnp.take_along_axis(planes, order, axis=0)
-    c_sorted = jnp.take_along_axis(cols_planes, order, axis=0)
-    keep = jnp.take_along_axis(present, order, axis=0)
-    v = jnp.where(keep, v_sorted, 0.0)[:K]
-    c = jnp.where(keep, c_sorted, 0)[:K]
-    return v.T, c.T    # (n, K)
+    each row's nonzeros first (order across planes preserved).
+
+    Cursor-scatter over the planes: a sort-based pack materializes ~4
+    stack-sized temps (argsort + 3 gathers — ~8 GB at a 343-plane coarse
+    operator), this touches one row-slot per plane and carries only the
+    (n, K) outputs."""
+    D, n = planes.shape
+    rows = jnp.arange(n, dtype=jnp.int32)
+
+    def body(d, carry):
+        out_v, out_c, cur = carry
+        v = planes[d]
+        nz = v != 0
+        slot = jnp.where(nz, cur, K)     # OOB scatter drops the zeros
+        out_v = out_v.at[rows, slot].set(v, mode="drop")
+        out_c = out_c.at[rows, slot].set(cols_planes[d], mode="drop")
+        return out_v, out_c, cur + nz.astype(jnp.int32)
+
+    out_v = jnp.zeros((n, K), planes.dtype)
+    out_c = jnp.zeros((n, K), jnp.int32)
+    cur = jnp.zeros(n, jnp.int32)
+    out_v, out_c, _ = jax.lax.fori_loop(0, D, body, (out_v, out_c, cur))
+    return out_v, out_c    # (n, K)
 
 
 @jax.jit
@@ -488,7 +621,9 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
     def _phase(label):
         if log is not None:
             t = _time.perf_counter()
-            log(f"    setup[dev]: {label:24s} {t - t0:8.2f}s")
+            live = sum(x.nbytes for x in jax.live_arrays()) / 1e9
+            log(f"    setup[dev]: {label:24s} {t - t0:8.2f}s"
+                f"  [{live:5.2f} GB live]")
         return _time.perf_counter()
 
     mesh = A.mesh
@@ -525,12 +660,33 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
         return None
 
     # --- interpolation (P on the same offset lattice) ---
-    interp_jit = jax.jit(
-        lambda Av, Sm, Cmask: _interp_planes(Av, Sm, comps, diag_slot,
-                                             Cmask, cfg.interp_type))
-    Pv = interp_jit(Av, Sm, Cmask)
+    import os as _os
+    stack_bytes = (len(comps) * int(np.prod(dims))
+                   * np.dtype(dt).itemsize)
+    staged_min = int(_os.environ.get("TPUSOLVE_INTERP_STAGED_MIN_BYTES",
+                                     1 << 29))
+    if cfg.interp_type == 0 and stack_bytes >= staged_min:
+        # big grids: the fused interp keeps ~20 plane stacks live at once;
+        # the staged scans bound memory at ~5 stacks
+        Pv = _interp_classical_staged(Av, Sm, Cmask, comps, diag_slot)
+    else:
+        interp_jit = jax.jit(
+            lambda Av, Sm, Cmask: _interp_planes(Av, Sm, comps, diag_slot,
+                                                 Cmask, cfg.interp_type))
+        Pv = interp_jit(Av, Sm, Cmask)
     Pv.block_until_ready()
     del Sm                   # frees (D, *dims) HBM ahead of the RAP buffers
+
+    # level-0 smoother data now, while Av is still needed anyway (frees
+    # the reshaped copy before the RAP working set)
+    @jax.jit
+    def smoother_data(Av):
+        diagp = Av[diag_slot].reshape(-1)
+        diagp = jnp.where(diagp != 0, diagp, 1.0)
+        l1 = sum(jnp.abs(Av[d]).reshape(-1) for d in range(len(comps)))
+        return 1.0 / diagp, 1.0 / jnp.where(l1 != 0, l1, 1.0)
+
+    dinv, dinv_l1 = smoother_data(Av)
     t0 = _phase("interpolation")
 
     # --- Galerkin RAP in dc chunks, compacted to the C rows immediately
@@ -540,46 +696,96 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
 
     groups = _rap_terms(comps)
     dcs = list(groups.keys())
-    # chunk the dc planes so the scan accumulator stays <= ~1.5 GB HBM
+    # chunk the dc planes so the scan accumulator stays <= ~0.9 GB HBM
+    # (the while-scan may double-buffer the carry)
     plane_bytes = int(np.prod(dims)) * np.dtype(dt).itemsize
-    CHUNK = max(8, min(48, int(1.5e9 // plane_bytes) - 1))
+    CHUNK = max(8, min(48, int(9e8 // plane_bytes) - 1))
 
+    # two passes over the chunked contraction: counts first (fixes the ELL
+    # width K), then scatter each chunk's C rows straight into the final
+    # (nc, K) pair — stacking all gathered planes first costs ~4 GB at
+    # 256^3, on top of the RAP working set
     @jax.jit
-    def gather_planes(planes, cidx, cnum, shifts):
+    def count_chunk(planes, cidx, counts):
         flat = planes.reshape(planes.shape[0], -1)
-        v = flat[:, cidx]                                   # (chunk, nc)
-        j = jnp.clip(cidx[None, :] + shifts[:, None], 0, n - 1)
-        c = cnum[j]
-        return v, c, jnp.any(v != 0, axis=1)
+        nz = flat[:, cidx] != 0                             # (chunk+1, nc)
+        nz = nz[:-1]                                        # drop dummy
+        return counts + jnp.sum(nz, axis=0, dtype=jnp.int32), \
+            jnp.any(nz, axis=1)
+
+    def pack_chunk(planes, cidx, cnum, shifts, out_v, out_c, cur, K):
+        P_ = planes.shape[0] - 1                            # drop dummy
+        flat = planes.reshape(planes.shape[0], -1)
+        v = flat[:, cidx]
+        rows = jnp.arange(cidx.shape[0], dtype=jnp.int32)
+
+        def body(d, carry):
+            ov, oc, cur = carry
+            vv = v[d]
+            nz = vv != 0
+            slot = jnp.where(nz, cur, K)   # OOB scatter drops zeros
+            cc = cnum[jnp.clip(cidx + shifts[d], 0, n - 1)]
+            ov = ov.at[rows, slot].set(vv, mode="drop")
+            oc = oc.at[rows, slot].set(cc, mode="drop")
+            return ov, oc, cur + nz.astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, P_, body, (out_v, out_c, cur))
+
+    pack_chunk = jax.jit(pack_chunk, static_argnames=("K",),
+                         donate_argnums=(4, 5, 6))
 
     m = _pad_m(comps)
     Avp = _pad_stack(Av, m)
+    del Av                   # the padded copy is the only RAP input
     Pvp = _pad_stack(Pv, m)
-    vs, cs, lvs = [], [], []
+
+    # pass 1: row widths
+    counts = jnp.zeros((nc,), jnp.int32)
+    lvs = []
+    chunk_shifts = []
     for s in range(0, len(dcs), CHUNK):
         sub = dcs[s:s + CHUNK]
+        chunk_shifts.append(jnp.asarray(
+            [_flat(dc, dims) for dc in sub] + [0], jnp.int32))
         planes = _rap_scan(Avp, Pvp, comps, sub, groups, dims, dt, m)
-        shifts = jnp.asarray([_flat(dc, dims) for dc in sub], jnp.int32)
-        v, c, lv = gather_planes(planes, cidx, cnum, shifts)
+        counts, lv = count_chunk(planes, cidx, counts)
         del planes
-        vs.append(v)
-        cs.append(c)
         lvs.append(np.asarray(lv))
-    del Avp, Pvp
+    nnz_c = int(jnp.sum(counts, dtype=jnp.int64))
+    Kc = min(len(dcs), max(8, _round_up(int(jnp.max(counts)), 8)))
+    del counts
     live = np.concatenate(lvs)
-    keep = jnp.asarray(np.nonzero(live)[0].astype(np.int32))
-    Vc = jnp.concatenate(vs)[keep]         # (Dc_live, nc)
-    Cc = jnp.concatenate(cs)[keep]
     dcs_live = [dc for dc, l in zip(dcs, live) if l]
+    if log is not None:
+        live_gb = sum(x.nbytes for x in jax.live_arrays()) / 1e9
+        log(f"      rap counts: K={Kc} nnz_c={nnz_c} "
+            f"live_dcs={len(dcs_live)} [{live_gb:5.2f} GB live]")
+
+    # pass 2: scatter each chunk straight into the coarse ELL (scans are
+    # compile-cached from pass 1; pure re-execution)
+    ell_v = jnp.zeros((nc, Kc), dt)
+    ell_c = jnp.zeros((nc, Kc), jnp.int32)
+    cur = jnp.zeros((nc,), jnp.int32)
+    dmain = None
+    zero_dc_pos = next((i for i, dc in enumerate(dcs)
+                        if all(c == 0 for c in dc)), None)
+    for ci, s in enumerate(range(0, len(dcs), CHUNK)):
+        sub = dcs[s:s + CHUNK]
+        planes = _rap_scan(Avp, Pvp, comps, sub, groups, dims, dt, m)
+        if zero_dc_pos is not None and s <= zero_dc_pos < s + len(sub):
+            flat = planes.reshape(planes.shape[0], -1)
+            dmain = flat[zero_dc_pos - s][cidx]
+        ell_v, ell_c, cur = pack_chunk(planes, cidx, cnum,
+                                       chunk_shifts[ci], ell_v, ell_c,
+                                       cur, K=Kc)
+        del planes
+    del Avp, Pvp, cur
     t0 = _phase("galerkin RAP")
 
-    ell_v, ell_c, Kc = _pack_planes_to_ell(Vc, Cc)
     # coarse diagonal for the ShardedMatrix.diag field
-    diag_dc = next((i for i, dc in enumerate(dcs_live)
-                    if all(c == 0 for c in dc)), None)
-    dmain = Vc[diag_dc] if diag_dc is not None else jnp.zeros(nc, dt)
+    if dmain is None:
+        dmain = jnp.zeros(nc, dt)
     dmain = jnp.where(dmain == 0, 1.0, dmain)  # safety on empty rows
-    nnz_c = int(jnp.sum(Vc != 0))
     col_off_c = np.array([0, nc], np.int64)
     row_off_c = col_off_c
     Ac_sh = _ell_sharded(mesh, (nc, nc), ell_v, ell_c,
@@ -614,14 +820,6 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
     indices = ell_c_h[mask].astype(np.int64)
     Ah_c = sp.csr_matrix((data, indices, indptr), shape=(nc, nc))
     t0 = _phase("coarse CSR fetch")
-
-    # --- level-0 smoother data (device) ---
-    diagp = Av[diag_slot].reshape(-1)
-    diagp = jnp.where(diagp != 0, diagp, 1.0)
-    dinv = (1.0 / diagp).reshape(-1)
-    l1 = sum(jnp.abs(Av[d]).reshape(-1) for d in range(len(comps)))
-    l1 = jnp.where(l1 != 0, l1, 1.0)
-    dinv_l1 = 1.0 / l1
 
     return dict(Cmask=Cmask.reshape(-1), nc=nc, P=P_sh, R=R_sh,
                 Ac=Ac_sh, Ah_c=Ah_c, dinv=dinv, dinv_l1=dinv_l1,

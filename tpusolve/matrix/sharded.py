@@ -301,10 +301,11 @@ class ShardedMatrix:
 
         # --- diag block: DIA, BDIA, BELL, or ELL ---
         # BDIA (blocked-DIA, kernels/bdia.py) and BELL (dense lane tiles,
-        # kernels/bell.py) compete on *modeled per-SpMV seconds* (v5e
-        # calibration): BDIA streams vals + equal-size x windows but pays a
-        # per-offset-slot issue cost; BELL streams its tiles at the
-        # measured ~550 GB/s with negligible issue overhead.
+        # kernels/bell.py) compete on *modeled per-SpMV seconds*: BDIA
+        # streams vals + equal-size x windows but pays a per-offset-slot
+        # issue cost; BELL streams its tiles at ~67% of the device's HBM
+        # rate (measured 550/819 GB/s on v5e) with negligible issue
+        # overhead.  Rates come from runtime.device_profile().
         use_bell = False
         use_bdia = False
         bdia_R = bdia_D = 0
@@ -323,7 +324,9 @@ class ShardedMatrix:
                 tile_bytes = nparts * G * bk * bell_mod.TM * bell_mod.TN * \
                     itemsize
                 if bk > 0 and tile_bytes <= tile_budget:
-                    bell_time = 1.125 * tile_bytes / (550e9 * nparts)
+                    from tpusolve.runtime import hbm_gbps
+                    bell_rate = 0.67 * hbm_gbps() * 1e9
+                    bell_time = 1.125 * tile_bytes / (bell_rate * nparts)
             # BDIA kernels: "whole" holds the padded local x in VMEM;
             # "xl" streams x panels from HBM (banded matrices only) and so
             # has no x-size limit.  One shared VMEM budget covers the x
@@ -545,7 +548,11 @@ class ShardedMatrix:
                        else np.asarray(col_offsets, np.int64))
         if dtype is None:
             dtype = dia_vals.dtype
-        dia_vals = np.asarray(dia_vals, dtype)
+        # device-resident dia_vals (e.g. the on-device stencil generator)
+        # are accepted as-is: no GB-scale host round-trip
+        on_device = isinstance(dia_vals, jax.Array)
+        if not on_device:
+            dia_vals = np.asarray(dia_vals, dtype)
         nparts_d, D, row_pad = dia_vals.shape
         if dia_shape is not None:
             if int(np.prod(dia_shape)) != row_pad:
@@ -559,11 +566,19 @@ class ShardedMatrix:
             dtype, 1)
 
         dia_offsets = tuple(int(o) for o in dia_offsets)
-        diag_main = np.zeros((nparts, row_pad), dtype)
-        if 0 in dia_offsets:
-            diag_main[:] = dia_vals[:, dia_offsets.index(0), :]
-        for p in range(nparts):
-            diag_main[p, int(row_counts[p]):] = 1.0
+        if on_device:
+            import jax.numpy as jnp
+            dm = (dia_vals[:, dia_offsets.index(0), :]
+                  if 0 in dia_offsets else jnp.zeros((nparts, row_pad), dtype))
+            tail = (jnp.arange(row_pad)[None, :]
+                    >= jnp.asarray(row_counts)[:, None])
+            diag_main = jnp.where(tail, jnp.asarray(1.0, dtype), dm)
+        else:
+            diag_main = np.zeros((nparts, row_pad), dtype)
+            if 0 in dia_offsets:
+                diag_main[:] = dia_vals[:, dia_offsets.index(0), :]
+            for p in range(nparts):
+                diag_main[p, int(row_counts[p]):] = 1.0
         if dia_shape is not None:
             # store box-shaped: per-diagonal planes keep the tiled layout the
             # SpMV slices need (a flat (D, R) layout forces a relayout copy
@@ -573,7 +588,13 @@ class ShardedMatrix:
         sharding = NamedSharding(mesh, P(axis))
         put = lambda a: (a if isinstance(a, jax.Array)
                          else jax.device_put(a, sharding))
-        nnz = int(np.count_nonzero(dia_vals)) + offd_nnz
+        if on_device:
+            import jax.numpy as jnp
+            nnz = int(jnp.count_nonzero(dia_vals)) + offd_nnz
+            diag_main = jax.device_put(diag_main,
+                                       NamedSharding(mesh, P(axis)))
+        else:
+            nnz = int(np.count_nonzero(dia_vals)) + offd_nnz
         dummy = np.zeros((nparts, row_pad, 1), dtype)
         return ShardedMatrix(
             diag_vals=put(dummy), diag_cols=put(dummy.astype(np.int32)),

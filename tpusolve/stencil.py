@@ -117,6 +117,46 @@ def _dia_box(nx, ny, nz, dtype):
     return offs[order], dia[order].reshape(27, nx * ny * nz)
 
 
+def _dia_box_device(nx, ny, nz, dtype):
+    """On-device twin of ``_dia_box`` (+ single-part RHS).
+
+    At 256^3 the host DIA table is 1.8 GB — minutes of fill + tunnel upload
+    on paravirtual hosts; the masks are trivially computable on device and
+    the values (-1/26/0, exact in any float) are bit-identical to the host
+    generator.  Single-part only (in-domain == in-box so rhs = 26 - count).
+    """
+    import jax
+    import jax.numpy as jnp
+    offs = np.array([dz * ny * nx + dy * nx + dx
+                     for dx, dy, dz in _OFFSETS], np.int64)
+    order = np.argsort(offs)
+
+    @jax.jit
+    def gen():
+        ix = jnp.arange(nx)
+        iy = jnp.arange(ny)
+        iz = jnp.arange(nz)
+        planes = []
+        count = None
+        for k in order:
+            dx, dy, dz = _OFFSETS[k]
+            if dx == dy == dz == 0:
+                planes.append(jnp.full((nz, ny, nx), 26.0, dtype))
+                continue
+            m = (((iz + dz >= 0) & (iz + dz < nz))[:, None, None]
+                 & ((iy + dy >= 0) & (iy + dy < ny))[None, :, None]
+                 & ((ix + dx >= 0) & (ix + dx < nx))[None, None, :])
+            planes.append(jnp.where(m, jnp.asarray(-1.0, dtype),
+                                    jnp.asarray(0.0, dtype)))
+            mf = m.astype(dtype)
+            count = mf if count is None else count + mf
+        dia = jnp.stack(planes).reshape(27, nx * ny * nz)
+        rhs = (26.0 - count).astype(dtype).reshape(-1)
+        return dia, rhs
+
+    return offs[order], gen
+
+
 def _local_offd_and_rhs(part, nx, ny, nz, pgrid, dtype):
     """Off-owner (ghost shell) entries + RHS for one part."""
     px, py, pz = pgrid
@@ -171,7 +211,7 @@ def _local_offd_and_rhs(part, nx, ny, nz, pgrid, dtype):
 def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
               dtype=np.float64, pgrid: tuple[int, int, int] | None = None,
               axis: str = ROWS_AXIS, with_host: bool = False,
-              with_parts: bool = False):
+              with_parts: bool = False, device: bool | None = None):
     """Build the sharded 27-pt system on ``mesh``.
 
     Returns ``(A, b, x_ref)``: the sharded matrix, the padded sharded RHS,
@@ -194,6 +234,31 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
         raise ValueError(f"process grid {pgrid} != mesh size {nparts}")
     box = nx * ny * nz
     n = box * nparts
+
+    if device is None:
+        # auto: big single-part boxes on an accelerator skip the host table
+        device = (nparts == 1 and nx >= 3 and ny >= 3
+                  and not with_host and not with_parts
+                  and box * 27 * np.dtype(dtype).itemsize >= 128 << 20
+                  and mesh.devices.flat[0].platform != "cpu")
+    if device:
+        if nparts != 1 or nx < 3 or ny < 3 or with_host or with_parts:
+            raise ValueError("device stencil generation is single-part, "
+                             "nx/ny >= 3, without host payloads")
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        offs, gen = _dia_box_device(nx, ny, nz, dtype)
+        dia_dev, rhs_dev = gen()
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                 np.zeros(0, dtype))
+        A = ShardedMatrix.from_dia_parts(
+            mesh, (n, n), offs, dia_dev.reshape(1, 27, box), [empty],
+            dtype=dtype, axis=axis, dia_shape=(nz, ny, nx))
+        sharding = NamedSharding(mesh, P(axis))
+        b = jax.device_put(rhs_dev, sharding)
+        import jax.numpy as jnp
+        x_ref = jax.device_put(jnp.ones(box, dtype), sharding)
+        return A, b, x_ref
 
     if nx >= 3 and ny >= 3:
         # fast path: diag block = shared DIA geometry, offd = boundary shell
