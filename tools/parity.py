@@ -58,7 +58,9 @@ def run_fixture(fx: dict, mesh):
     sweeps = 2 if "V(2,2)" in s.get("cycle", "V(1,1)") else 1
 
     if name.startswith("laplace27"):
-        A, b, _ = laplace27(mesh, 8, 8, 8, dtype=np.float64)
+        dims = fx.get("dims", [8, 8, 8])
+        dt = np.float32 if fx.get("tpu_only") else np.float64
+        A, b, _ = laplace27(mesh, *dims, dtype=dt)
         A_host = None
     else:
         def lap1(n):
@@ -90,16 +92,22 @@ def run_fixture(fx: dict, mesh):
 def build_table() -> str:
     from tpusolve.mesh import make_mesh
     import jax
+    on_tpu = jax.devices()[0].platform != "cpu"
     mesh = make_mesh(min(8, len(jax.devices())))
     with open(EXPECTED) as fh:
         doc = json.load(fh)
     lines = [
         "| fixture | solver | expected (BoomerAMG, recorded) | budget "
-        "(+10% +l1-Jacobi delta) | achieved | ratio | verdict |",
+        "(1.10x north-star margin; +l1-Jacobi delta where measured) | "
+        "achieved | ratio | verdict |",
         "|---|---|---|---|---|---|---|",
     ]
     ok_all = True
     for fx in doc["fixtures"]:
+        if fx.get("tpu_only") and not on_tpu:
+            print(f"| {fx['name']} | (skipped: TPU-only fixture) |",
+                  flush=True)
+            continue
         iters, conv = run_fixture(fx, mesh)
         exp, budget = fx["expected_iters"], fx["budget_iters"]
         ratio = iters / exp

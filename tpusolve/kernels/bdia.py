@@ -47,26 +47,32 @@ BLOCK_SIZES = (2048, 1024, 512, 256, 128)  # candidate R values (multiples
                                # of 128: the kernel works on (R/128, 128)
                                # tiles; larger R = fewer per-slot overheads)
 
-# calibrated kernel model (v5e): with the slot loop fully unrolled
-# (D <= UNROLL_MAX) the kernel runs at stream rate (~12 ns/slot at rr=8);
-# the rolled loop pays ~87 ns/slot of scalar overhead.  Used by layout
-# selection.
+# calibrated kernel model: measured once on v5e — with the slot loop fully
+# unrolled (D <= UNROLL_MAX) the kernel runs at stream rate (~12 ns/slot at
+# rr=8); the rolled loop pays ~87 ns/slot of scalar overhead.  Other
+# generations rescale by runtime.overhead_scale() (bandwidth ratio as the
+# clock proxy) and use their own HBM rate — see runtime.device_profile().
 UNROLL_MAX = 64
-SLOT_FIXED_NS = 40.0       # rolled-loop per-slot overhead
-SLOT_PER_ROW_NS = 12.0     # per rr = R/128 (rolled)
+SLOT_FIXED_NS = 40.0       # rolled-loop per-slot overhead (v5e)
+SLOT_PER_ROW_NS = 12.0     # per rr = R/128 (rolled, v5e)
 UNROLLED_SLOT_NS = 4.0
 UNROLLED_PER_ROW_NS = 1.0
-HBM_GBPS = 819.0
+
+
+def _per_slot_ns(D: int, R: int) -> float:
+    from tpusolve import runtime
+    if D <= UNROLL_MAX:
+        ns = UNROLLED_SLOT_NS + UNROLLED_PER_ROW_NS * R / 128.0
+    else:
+        ns = SLOT_FIXED_NS + SLOT_PER_ROW_NS * R / 128.0
+    return ns * runtime.overhead_scale()
 
 
 def model_time_s(B: int, D: int, R: int, itemsize: int) -> float:
     """Predicted per-SpMV seconds for a (B, D, R) BDIA layout."""
-    stream = 2.0 * B * D * R * itemsize / (HBM_GBPS * 1e9)
-    if D <= UNROLL_MAX:
-        per_slot = UNROLLED_SLOT_NS + UNROLLED_PER_ROW_NS * R / 128.0
-    else:
-        per_slot = SLOT_FIXED_NS + SLOT_PER_ROW_NS * R / 128.0
-    return max(stream, B * D * per_slot * 1e-9)
+    from tpusolve import runtime
+    stream = 2.0 * B * D * R * itemsize / (runtime.hbm_gbps() * 1e9)
+    return max(stream, B * D * _per_slot_ns(D, R) * 1e-9)
 
 
 def plan_d(lr, lc, row_pad: int, col_pad: int, R: int) -> int:
@@ -243,13 +249,11 @@ def model_time_xl_s(B: int, D: int, R: int, pxrows: int, itemsize: int,
                     gb: int = _PALLAS_GB) -> float:
     """Predicted per-SpMV seconds for the XL layout: vals stream once,
     plus one x panel per grid step."""
+    from tpusolve import runtime
     nsteps = (B + gb - 1) // gb
     stream = (B * D * R + nsteps * pxrows * LANE) * itemsize / \
-        (HBM_GBPS * 1e9)
-    per_slot = (UNROLLED_SLOT_NS + UNROLLED_PER_ROW_NS * R / 128.0
-                if D <= UNROLL_MAX
-                else SLOT_FIXED_NS + SLOT_PER_ROW_NS * R / 128.0)
-    return max(stream, B * D * per_slot * 1e-9)
+        (runtime.hbm_gbps() * 1e9)
+    return max(stream, B * D * _per_slot_ns(D, R) * 1e-9)
 
 
 def _bdia_kernel_xl(rowstart_ref, starts_ref, vals_ref, x_hbm_ref, out_ref,
