@@ -98,9 +98,19 @@ def aggressive_pmis(S: sp.csr_matrix, seed: int = 1234) -> np.ndarray:
     C1 = np.flatnonzero(split1 == C_PT)
     if C1.size <= 1:
         return split1
+    # distance-2 strength restricted to C1, WITHOUT materializing the full
+    # (Sb @ Sb) graph: (Sb@Sb)[C1][:, C1] == Sb[C1] @ Sb[:, C1], so
+    # restricting both factors first shrinks the product's work and output
+    # by ~(|C1|/n)^2 (the full product dominated setup on big fine levels)
     Sb = S.tocsr().astype(bool)
-    S2 = ((Sb @ Sb) + Sb).tocsr()          # strength within distance 2
-    S2 = S2[C1][:, C1].tocsr()
+    Sb_rows = Sb[C1]                       # (|C1|, n)
+    Sb_cols = Sb.tocsc()[:, C1].tocsr()    # (n, |C1|)
+    from tpusolve.native import spk
+    prod = spk.spgemm(Sb_rows.astype(np.float64),
+                      Sb_cols.astype(np.float64))
+    if prod is None:
+        prod = Sb_rows @ Sb_cols
+    S2 = (prod.astype(bool) + Sb_rows[:, C1]).tocsr()
     S2.setdiag(False)
     S2.eliminate_zeros()
     sub = pmis(S2.astype(np.float64), seed=seed + 1)

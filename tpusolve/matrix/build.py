@@ -134,7 +134,8 @@ def materialize_sharded(mesh, axis, idx_parts, val_parts, shape_tail, dtype):
             if len(idx_parts[p]):
                 out[p][np.asarray(idx_parts[p])] = val_parts[p]
         t1 = time.perf_counter()
-        res = jax.device_put(out.reshape((nparts,) + shape_tail), sharding)
+        from tpusolve.mesh import put_sharded
+        res = put_sharded(out.reshape((nparts,) + shape_tail), mesh, P(axis))
         if log_on and total_bytes > (64 << 20):
             res.block_until_ready()
             print(f"      materialize host {total_bytes/1e6:.0f}MB "
@@ -152,8 +153,9 @@ def materialize_sharded(mesh, axis, idx_parts, val_parts, shape_tail, dtype):
         if k:
             idx_st[p, :k] = idx_parts[p]
             val_st[p, :k] = val_parts[p]
-    idx_d = jax.device_put(idx_st, sharding)
-    val_d = jax.device_put(val_st, sharding)
+    from tpusolve.mesh import put_sharded
+    idx_d = put_sharded(idx_st, mesh, P(axis))
+    val_d = put_sharded(val_st, mesh, P(axis))
     fn = _scatter_builder(mesh, axis, flat_pad, dtype, nnz_pad)
     flat = fn(idx_d, val_d)
     if flat_pad == per_size and len(shape_tail) == 1:

@@ -495,9 +495,9 @@ class ShardedMatrix:
                     on_diag = dlc == dlr
                     diag_main[p, dlr[on_diag]] += dv[on_diag]
 
-        sharding = NamedSharding(mesh, P(axis))
+        from tpusolve.mesh import put_sharded
         put = lambda a: (a if isinstance(a, jax.Array)
-                         else jax.device_put(a, sharding))
+                         else put_sharded(a, mesh, P(axis)))
         nnz = int(sum(np.asarray(p[2]).size for p in parts))
         return ShardedMatrix(
             diag_vals=put(dvals), diag_cols=put(dcols),
@@ -585,9 +585,9 @@ class ShardedMatrix:
             # per diagonal per SpMV -- measured 16x slowdown)
             dia_vals = dia_vals.reshape((nparts, D) + tuple(dia_shape))
 
-        sharding = NamedSharding(mesh, P(axis))
+        from tpusolve.mesh import put_sharded
         put = lambda a: (a if isinstance(a, jax.Array)
-                         else jax.device_put(a, sharding))
+                         else put_sharded(a, mesh, P(axis)))
         if on_device:
             import jax.numpy as jnp
             nnz = int(jnp.count_nonzero(dia_vals)) + offd_nnz

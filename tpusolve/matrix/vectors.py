@@ -49,11 +49,21 @@ def to_device_vector(mesh, x: np.ndarray, offsets, pad: int, dtype=None,
     xp = pad_vector(np.asarray(x), offsets, pad)
     if dtype is not None:
         xp = xp.astype(dtype)
-    return jax.device_put(xp, NamedSharding(mesh, P(axis)))
+    from tpusolve.mesh import put_sharded
+    return put_sharded(xp, mesh, P(axis))
 
 
 def from_device_vector(x: jax.Array, offsets, pad: int) -> np.ndarray:
-    """Fetch a padded sharded vector back to a host global vector."""
+    """Fetch a padded sharded vector back to a host global vector.
+
+    Multi-process: the array spans non-addressable devices, so the local
+    shards are allgathered first (every host gets the full global vector —
+    the reference's checks/writers are likewise rank-replicated gathers,
+    src/HypreSystem.cpp:771-845)."""
+    if (isinstance(x, jax.Array) and jax.process_count() > 1
+            and not x.is_fully_addressable):
+        from jax.experimental import multihost_utils
+        x = multihost_utils.process_allgather(x, tiled=True)
     return unpad_vector(np.asarray(jax.device_get(x)), offsets, pad)
 
 

@@ -44,6 +44,25 @@ def owner_of(indices: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return np.searchsorted(offsets, np.asarray(indices), side="right") - 1
 
 
+def put_sharded(a, mesh: Mesh, spec) -> jax.Array:
+    """Multi-process-safe ``device_put(a, NamedSharding(mesh, spec))``.
+
+    Single-process: a plain ``device_put``.  Multi-process: each host's
+    staging arrays carry real data only in the rows its devices own (the
+    per-host ingestion filter), so a global ``device_put`` would trip
+    JAX's same-value-on-every-process assert; ``make_array_from_callback``
+    instead materializes only this host's *addressable* shards from the
+    host-global-shaped buffer.  (Ref analog: per-rank SetValues into a
+    distributed IJ matrix, src/HypreSystem.cpp:1540-1597.)
+    """
+    from jax.sharding import NamedSharding
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(a, sharding)
+    return jax.make_array_from_callback(a.shape, sharding,
+                                        lambda idx: a[idx])
+
+
 def local_range(offsets: np.ndarray, part: int) -> tuple[int, int]:
     """(iLower, iUpper) inclusive range for a part, reference-style."""
     return int(offsets[part]), int(offsets[part + 1]) - 1
@@ -86,6 +105,10 @@ def init_distributed(coordinator: str | None = None,
             return False
     except (ImportError, AttributeError):
         pass
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     kwargs = {}
     if coordinator is not None:
         kwargs["coordinator_address"] = coordinator
