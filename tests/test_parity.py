@@ -19,6 +19,9 @@ def _fixtures():
 
 @pytest.mark.parametrize("fx", _fixtures(), ids=lambda fx: fx["name"])
 def test_parity_fixture(fx, mesh8):
+    import jax
+    if fx.get("tpu_only") and jax.devices()[0].platform == "cpu":
+        pytest.skip(">=2M-row fixture: TPU runs only (tools/parity.py --tpu)")
     from tools.parity import run_fixture
     iters, converged = run_fixture(fx, mesh8)
     assert converged

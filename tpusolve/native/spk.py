@@ -54,6 +54,20 @@ def _configure(lib):
     lib.sk_pattern_mask.restype = None
     lib.sk_pattern_mask.argtypes = [
         ctypes.c_int64, _i32p, _i32p, _i32p, _i32p, _u8p]
+    lib.sk_classical_interp_count.restype = ctypes.c_int64
+    lib.sk_classical_interp_count.argtypes = [
+        ctypes.c_int64, _i32p, _i32p, _u8p, _i32p]
+    lib.sk_classical_interp_fill.restype = None
+    lib.sk_classical_interp_fill.argtypes = [
+        ctypes.c_int64, _i32p, _i32p, _f64p, _i32p, _i32p, _u8p, _i32p,
+        _i32p, _i32p, _f64p]
+    lib.sk_exti_interp_count.restype = ctypes.c_int64
+    lib.sk_exti_interp_count.argtypes = [
+        ctypes.c_int64, _i32p, _i32p, _i32p, _i32p, _u8p, _i32p]
+    lib.sk_exti_interp_fill.restype = None
+    lib.sk_exti_interp_fill.argtypes = [
+        ctypes.c_int64, _i32p, _i32p, _f64p, _i32p, _i32p, _u8p, _i32p,
+        _i32p, _i32p, _f64p]
 
 
 def _lib():
@@ -283,3 +297,78 @@ def spgemm(A: sp.csr_matrix, B: sp.csr_matrix) -> sp.csr_matrix | None:
     out = sp.csr_matrix((Cx, Cj, Cp), shape=(n, m))
     out.has_sorted_indices = True
     return out
+
+
+def classical_interp(A: sp.csr_matrix, S: sp.csr_matrix,
+                     is_C: np.ndarray, cmap: np.ndarray
+                     ) -> sp.csr_matrix | None:
+    """Classical modified interpolation (interp_type 0) in one native pass —
+    P over the strong-C pattern, C rows identity.  Requires sorted column
+    indices on A and S (S must exclude the diagonal).  None if the native
+    library is unavailable or the operands exceed int32 indexing."""
+    lib = _lib()
+    if lib is None or not _fits(A, S):
+        return None
+    if not A.has_sorted_indices or not S.has_sorted_indices:
+        return None
+    n = A.shape[0]
+    Ap, Aj, Ax = _csr_args(A)
+    Sp, Sj, _ = (_as_i32(S.indptr), _as_i32(S.indices), None)
+    isC = np.ascontiguousarray(is_C, np.uint8)
+    cm = _as_i32(cmap)
+    _u8p = ctypes.POINTER(ctypes.c_uint8)
+    Pp = np.zeros(n + 1, np.int32)
+    nnz = lib.sk_classical_interp_count(
+        np.int64(n), _ptr(Sp, _i32p), _ptr(Sj, _i32p),
+        _ptr(isC, _u8p), _ptr(Pp, _i32p))
+    if nnz > _I32_MAX:
+        return None
+    Pj = np.zeros(nnz, np.int32)
+    Px = np.zeros(nnz, np.float64)
+    lib.sk_classical_interp_fill(
+        np.int64(n),
+        _ptr(Ap, _i32p), _ptr(Aj, _i32p), _ptr(Ax, _f64p),
+        _ptr(Sp, _i32p), _ptr(Sj, _i32p),
+        _ptr(isC, _u8p), _ptr(cm, _i32p),
+        _ptr(Pp, _i32p), _ptr(Pj, _i32p), _ptr(Px, _f64p))
+    nc = int(is_C.sum())
+    P = sp.csr_matrix((Px, Pj, Pp), shape=(n, nc))
+    P.eliminate_zeros()
+    return P
+
+
+def exti_interp(A: sp.csr_matrix, S: sp.csr_matrix,
+                is_C: np.ndarray, cmap: np.ndarray
+                ) -> sp.csr_matrix | None:
+    """Extended+i interpolation (interp_type 6/7) in one native pass (P over
+    the extended C pattern, C rows identity).  Same operand contract as
+    :func:`classical_interp`."""
+    lib = _lib()
+    if lib is None or not _fits(A, S):
+        return None
+    if not A.has_sorted_indices or not S.has_sorted_indices:
+        return None
+    n = A.shape[0]
+    Ap, Aj, Ax = _csr_args(A)
+    Sp, Sj = _as_i32(S.indptr), _as_i32(S.indices)
+    isC = np.ascontiguousarray(is_C, np.uint8)
+    cm = _as_i32(cmap)
+    _u8p = ctypes.POINTER(ctypes.c_uint8)
+    Pp = np.zeros(n + 1, np.int32)
+    nnz = lib.sk_exti_interp_count(
+        np.int64(n), _ptr(Ap, _i32p), _ptr(Aj, _i32p),
+        _ptr(Sp, _i32p), _ptr(Sj, _i32p), _ptr(isC, _u8p), _ptr(Pp, _i32p))
+    if nnz > _I32_MAX:
+        return None
+    Pj = np.zeros(nnz, np.int32)
+    Px = np.zeros(nnz, np.float64)
+    lib.sk_exti_interp_fill(
+        np.int64(n),
+        _ptr(Ap, _i32p), _ptr(Aj, _i32p), _ptr(Ax, _f64p),
+        _ptr(Sp, _i32p), _ptr(Sj, _i32p),
+        _ptr(isC, _u8p), _ptr(cm, _i32p),
+        _ptr(Pp, _i32p), _ptr(Pj, _i32p), _ptr(Px, _f64p))
+    nc = int(is_C.sum())
+    P = sp.csr_matrix((Px, Pj, Pp), shape=(n, nc))
+    P.eliminate_zeros()
+    return P

@@ -316,6 +316,241 @@ void sk_pattern_mask(i64 n, const i32* Ap, const i32* Aj,
     }
 }
 
+// Classical modified interpolation (interp_type 0), whole pass in one
+// kernel.  The vectorized-numpy formulation (amg/interp.py) streams ~15
+// nnz-sized temporaries through a 1-core host (65 s at 56M nnz); this
+// computes P row-by-row with stamped accumulators and no temporaries.
+//
+//   P_ij = -( a_ij + sum_{k in F_i} a_ik * hat_a_kj / d_ik ) / tilde_a_ii
+//   d_ik = sum_{m in C_i} hat_a_km        (hat: sign opposite to a_kk)
+//   tilde_a_ii = a_ii + sum_weak + sum_{k in F_i, d_ik = 0} a_ik
+//
+// A and S must have sorted column indices; S excludes the diagonal.
+// P's pattern: F-row i -> its strong-C columns (cmap'd); C-row i -> cmap[i].
+// Count pass (fills Pp, returns nnz):
+i64 sk_classical_interp_count(i64 n, const i32* Sp, const i32* Sj,
+                              const uint8_t* is_C, i32* Pp) {
+    i64 w = 0;
+    Pp[0] = 0;
+    for (i64 i = 0; i < n; ++i) {
+        if (is_C[i]) {
+            ++w;
+        } else {
+            for (i32 t = Sp[i]; t < Sp[i + 1]; ++t)
+                if (is_C[Sj[t]]) ++w;
+        }
+        Pp[i + 1] = static_cast<i32>(w);
+    }
+    return w;
+}
+
+// Fill pass (Pp from the count pass; Pj/Px of size nnz):
+void sk_classical_interp_fill(i64 n,
+                              const i32* Ap, const i32* Aj, const double* Ax,
+                              const i32* Sp, const i32* Sj,
+                              const uint8_t* is_C, const i32* cmap,
+                              const i32* Pp, i32* Pj, double* Px) {
+    std::vector<double> diag(static_cast<size_t>(n), 0.0);
+    for (i64 i = 0; i < n; ++i)
+        for (i32 t = Ap[i]; t < Ap[i + 1]; ++t)
+            if (Aj[t] == static_cast<i32>(i)) { diag[i] = Ax[t]; break; }
+
+    std::vector<i64> stamp(static_cast<size_t>(n), -1);
+    std::vector<i32> slot(static_cast<size_t>(n), 0);
+    std::vector<double> acc(static_cast<size_t>(n), 0.0);
+
+    for (i64 i = 0; i < n; ++i) {
+        i32 w = Pp[i];
+        if (is_C[i]) {
+            Pj[w] = cmap[i];
+            Px[w] = 1.0;
+            continue;
+        }
+        // stamp the strong-C columns -> P slots
+        for (i32 t = Sp[i]; t < Sp[i + 1]; ++t) {
+            const i32 j = Sj[t];
+            if (!is_C[j]) continue;
+            stamp[j] = i;
+            slot[j] = w;
+            acc[j] = 0.0;
+            Pj[w++] = cmap[j];
+        }
+        double dii = diag[i];
+        // merge A row with S row (both sorted) to classify each entry
+        i32 u = Sp[i];
+        const i32 uend = Sp[i + 1];
+        for (i32 t = Ap[i]; t < Ap[i + 1]; ++t) {
+            const i32 j = Aj[t];
+            if (j == static_cast<i32>(i)) continue;
+            while (u < uend && Sj[u] < j) ++u;
+            const bool strong = (u < uend && Sj[u] == j);
+            const double a = Ax[t];
+            if (!strong) {                    // weak: lump into diagonal
+                dii += a;
+            } else if (stamp[j] == i) {       // strong C: direct term
+                acc[j] += a;
+            } else {                          // strong F: distance-2 terms
+                const i32 k = j;
+                const double dk = diag[k];
+                double d_ik = 0.0;
+                for (i32 v = Ap[k]; v < Ap[k + 1]; ++v) {
+                    if (stamp[Aj[v]] == i && Ax[v] * dk < 0.0)
+                        d_ik += Ax[v];
+                }
+                if (d_ik == 0.0) {
+                    dii += a;                 // dead connection: lump
+                } else {
+                    const double s = a / d_ik;
+                    for (i32 v = Ap[k]; v < Ap[k + 1]; ++v) {
+                        const i32 m = Aj[v];
+                        if (stamp[m] == i && Ax[v] * dk < 0.0)
+                            acc[m] += s * Ax[v];
+                    }
+                }
+            }
+        }
+        if (dii == 0.0) dii = 1.0;
+        for (i32 e = Pp[i]; e < w; ++e) Px[e] = 0.0;
+        for (i32 t = Sp[i]; t < Sp[i + 1]; ++t) {
+            const i32 j = Sj[t];
+            if (stamp[j] == i) Px[slot[j]] = -acc[j] / dii;
+        }
+    }
+}
+
+// Extended+i interpolation (interp_type 6/7; De Sterck, Falgout, Nolting,
+// Yang 2008) — the distance-2 repair for PMIS coarsenings, one native
+// pass (same stamped-accumulator idea as sk_classical_interp_*).
+//
+//   pattern: Ce_i = strongC(i) U strongC(k) for k in strongF(i)
+//   w_ij = -( a_ij|Ce + sum_{k in F_i^s} a_ik hat_a_kj / d_ik ) / tilde_a_ii
+//   d_ik = sum_{m in Ce_i} hat_a_km + hat_a_ki              ("+i" term)
+//   tilde_a_ii = a_ii + sum_weak + sum_k a_ik hat_a_ki / d_ik (backflow)
+//                (+ a_ik where d_ik = 0)
+//
+// A and S sorted columns, S diagonal-free.  Count pass fills Pp and
+// returns nnz:
+i64 sk_exti_interp_count(i64 n, const i32* Ap, const i32* Aj,
+                         const i32* Sp, const i32* Sj,
+                         const uint8_t* is_C, i32* Pp) {
+    std::vector<i64> stamp(static_cast<size_t>(n), -1);
+    i64 w = 0;
+    Pp[0] = 0;
+    for (i64 i = 0; i < n; ++i) {
+        if (is_C[i]) {
+            ++w;
+        } else {
+            for (i32 t = Sp[i]; t < Sp[i + 1]; ++t) {
+                const i32 j = Sj[t];
+                if (is_C[j]) {
+                    if (stamp[j] != i) { stamp[j] = i; ++w; }
+                } else {
+                    for (i32 u = Sp[j]; u < Sp[j + 1]; ++u) {
+                        const i32 m = Sj[u];
+                        if (is_C[m] && stamp[m] != i) { stamp[m] = i; ++w; }
+                    }
+                }
+            }
+        }
+        Pp[i + 1] = static_cast<i32>(w);
+    }
+    return w;
+}
+
+void sk_exti_interp_fill(i64 n,
+                         const i32* Ap, const i32* Aj, const double* Ax,
+                         const i32* Sp, const i32* Sj,
+                         const uint8_t* is_C, const i32* cmap,
+                         const i32* Pp, i32* Pj, double* Px) {
+    std::vector<double> diag(static_cast<size_t>(n), 0.0);
+    for (i64 i = 0; i < n; ++i)
+        for (i32 t = Ap[i]; t < Ap[i + 1]; ++t)
+            if (Aj[t] == static_cast<i32>(i)) { diag[i] = Ax[t]; break; }
+
+    std::vector<i64> stamp(static_cast<size_t>(n), -1);
+    std::vector<i32> slot(static_cast<size_t>(n), 0);
+    std::vector<double> acc(static_cast<size_t>(n), 0.0);
+    std::vector<i32> ce;
+    ce.reserve(256);
+
+    // hat_a_ki via binary search in row k (sorted columns)
+    auto hat_at = [&](i32 k, i32 colq) -> double {
+        const i32* lo = Aj + Ap[k];
+        const i32* hi = Aj + Ap[k + 1];
+        const i32* it = std::lower_bound(lo, hi, colq);
+        if (it == hi || *it != colq) return 0.0;
+        const double v = Ax[Ap[k] + (it - lo)];
+        return (v * diag[k] < 0.0) ? v : 0.0;
+    };
+
+    for (i64 i = 0; i < n; ++i) {
+        i32 w = Pp[i];
+        if (is_C[i]) {
+            Pj[w] = cmap[i];
+            Px[w] = 1.0;
+            continue;
+        }
+        // build Ce_i (sorted for a sorted-column P row)
+        ce.clear();
+        for (i32 t = Sp[i]; t < Sp[i + 1]; ++t) {
+            const i32 j = Sj[t];
+            if (is_C[j]) {
+                if (stamp[j] != i) { stamp[j] = i; ce.push_back(j); }
+            } else {
+                for (i32 u = Sp[j]; u < Sp[j + 1]; ++u) {
+                    const i32 m = Sj[u];
+                    if (is_C[m] && stamp[m] != i) {
+                        stamp[m] = i;
+                        ce.push_back(m);
+                    }
+                }
+            }
+        }
+        std::sort(ce.begin(), ce.end());
+        for (const i32 m : ce) {
+            slot[m] = w;
+            acc[m] = 0.0;
+            Pj[w++] = cmap[m];
+        }
+        double dii = diag[i];
+        // classify row i's entries: weak -> dii; Ce -> direct term;
+        // strong F -> distance-2 terms
+        i32 u = Sp[i];
+        const i32 uend = Sp[i + 1];
+        for (i32 t = Ap[i]; t < Ap[i + 1]; ++t) {
+            const i32 j = Aj[t];
+            if (j == static_cast<i32>(i)) continue;
+            while (u < uend && Sj[u] < j) ++u;
+            const bool strong = (u < uend && Sj[u] == j);
+            const double a = Ax[t];
+            if (!strong) dii += a;            // weak: lump into diagonal
+            if (stamp[j] == i) acc[j] += a;   // A restricted to Ce
+            if (strong && !is_C[j]) {         // strong F: distribute
+                const i32 k = j;
+                const double dk = diag[k];
+                const double hki = hat_at(k, static_cast<i32>(i));
+                double d_ik = hki;
+                for (i32 v = Ap[k]; v < Ap[k + 1]; ++v)
+                    if (stamp[Aj[v]] == i && Ax[v] * dk < 0.0)
+                        d_ik += Ax[v];
+                if (d_ik == 0.0) {
+                    dii += a;
+                } else {
+                    const double s = a / d_ik;
+                    for (i32 v = Ap[k]; v < Ap[k + 1]; ++v) {
+                        const i32 m = Aj[v];
+                        if (stamp[m] == i && Ax[v] * dk < 0.0)
+                            acc[m] += s * Ax[v];
+                    }
+                    dii += s * hki;           // k -> i backflow
+                }
+            }
+        }
+        if (dii == 0.0) dii = 1.0;
+        for (const i32 m : ce) Px[slot[m]] = -acc[m] / dii;
+    }
+}
+
 // Row-major CSR extraction from a dense (rows x ndiag) float32 DIA-value
 // table (column j holds diagonal offs[j]) — the stencil generator's
 // with_host path.  One pass, no index temporaries: at 450M nnz the numpy
