@@ -33,12 +33,20 @@ def pmis(S: sp.csr_matrix, seed: int = 1234) -> np.ndarray:
     if n == 0:
         return np.zeros(0, np.int64)
     S = S.tocsr()
-    St = S.T.tocsr()
 
     # measure: number of points i strongly influences (|S^T row|) + rand
     rng = np.random.default_rng(seed)
-    influence = np.asarray(St.sum(axis=1)).ravel()
+    influence = np.bincount(S.indices, minlength=n).astype(np.float64)
     w = influence + rng.random(n)
+
+    # native kernel (sk_pmis): same synchronous rounds on the same w, with
+    # active-set shrinking (the numpy rounds below rescan the full graph)
+    from tpusolve.native import spk
+    state_n = spk.pmis(S, w)
+    if state_n is not None:
+        return state_n
+
+    St = S.T.tocsr()
 
     state = np.full(n, UNDECIDED, np.int64)
     # points that influence nothing and depend on nothing: isolated -> F

@@ -68,6 +68,8 @@ def _configure(lib):
     lib.sk_exti_interp_fill.argtypes = [
         ctypes.c_int64, _i32p, _i32p, _f64p, _i32p, _i32p, _u8p, _i32p,
         _i32p, _i32p, _f64p]
+    lib.sk_pmis.restype = None
+    lib.sk_pmis.argtypes = [ctypes.c_int64, _i32p, _i32p, _f64p, _i32p]
 
 
 def _lib():
@@ -372,3 +374,20 @@ def exti_interp(A: sp.csr_matrix, S: sp.csr_matrix,
     P = sp.csr_matrix((Px, Pj, Pp), shape=(n, nc))
     P.eliminate_zeros()
     return P
+
+
+def pmis(S: sp.csr_matrix, w: np.ndarray) -> np.ndarray | None:
+    """PMIS C/F split with caller-supplied tie-break measures ``w`` (exact
+    synchronous-round semantics of coarsen.pmis; active-set shrinking).
+    Returns int64 state (1=C, 0=F), or None if unavailable."""
+    lib = _lib()
+    if lib is None or not _fits(S):
+        return None
+    S = S.tocsr()
+    n = S.shape[0]
+    Sp, Sj = _as_i32(S.indptr), _as_i32(S.indices)
+    wv = _as_f64(w)
+    state = np.empty(n, np.int32)
+    lib.sk_pmis(np.int64(n), _ptr(Sp, _i32p), _ptr(Sj, _i32p),
+                _ptr(wv, _f64p), _ptr(state, _i32p))
+    return state.astype(np.int64)

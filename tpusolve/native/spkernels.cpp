@@ -418,6 +418,72 @@ void sk_classical_interp_fill(i64 n,
     }
 }
 
+// PMIS C/F splitting with caller-supplied tie-break measures w (influence
+// count + seeded uniform — the caller keeps RNG compatibility with the
+// numpy and device paths).  Exact synchronous-round semantics of
+// coarsen.pmis: per round, an active point whose w exceeds every active
+// (S U S^T)-neighbor's becomes C; active points strongly influenced by a
+// NEW C become F.  Skips decided rows, so round work shrinks with the
+// active set (the numpy formulation rescans the full graph every round).
+// state out: 1 = C, 0 = F.
+void sk_pmis(i64 n, const i32* Sp, const i32* Sj, const double* w,
+             i32* state) {
+    const i32 UNDECIDED = -1, F = 0, C = 1;
+    // transpose pattern (counting sort)
+    std::vector<i32> Stp(static_cast<size_t>(n) + 1, 0);
+    const i64 nnz = Sp[n];
+    for (i64 t = 0; t < nnz; ++t) ++Stp[Sj[t] + 1];
+    for (i64 i = 0; i < n; ++i) Stp[i + 1] += Stp[i];
+    std::vector<i32> Stj(static_cast<size_t>(nnz));
+    {
+        std::vector<i32> cur(Stp.begin(), Stp.end() - 1);
+        for (i64 i = 0; i < n; ++i)
+            for (i32 t = Sp[i]; t < Sp[i + 1]; ++t)
+                Stj[cur[Sj[t]]++] = static_cast<i32>(i);
+    }
+    std::vector<i32> active;
+    active.reserve(n);
+    for (i64 i = 0; i < n; ++i) {
+        const bool isolated = (Stp[i + 1] == Stp[i]);
+        state[i] = isolated ? F : UNDECIDED;
+        if (!isolated) active.push_back(static_cast<i32>(i));
+    }
+    std::vector<i32> newC;
+    std::vector<i32> next;
+    while (!active.empty()) {
+        newC.clear();
+        for (const i32 i : active) {
+            const double wi = w[i];
+            bool ismax = true;
+            for (i32 t = Sp[i]; t < Sp[i + 1] && ismax; ++t) {
+                const i32 j = Sj[t];
+                if (state[j] == UNDECIDED && w[j] >= wi) ismax = false;
+            }
+            for (i32 t = Stp[i]; t < Stp[i + 1] && ismax; ++t) {
+                const i32 j = Stj[t];
+                if (state[j] == UNDECIDED && w[j] >= wi) ismax = false;
+            }
+            if (ismax) newC.push_back(i);
+        }
+        if (newC.empty()) break;   // exhausted ties: leftovers -> C below
+        for (const i32 i : newC) state[i] = C;
+        // active points strongly influenced by a new C become F: walk the
+        // new C-points' influence lists (S^T rows) instead of re-scanning
+        // every active row
+        for (const i32 j : newC)
+            for (i32 t = Stp[j]; t < Stp[j + 1]; ++t) {
+                const i32 i = Stj[t];
+                if (state[i] == UNDECIDED) state[i] = F;
+            }
+        next.clear();
+        for (const i32 i : active)
+            if (state[i] == UNDECIDED) next.push_back(i);
+        active.swap(next);
+    }
+    for (i64 i = 0; i < n; ++i)
+        if (state[i] == UNDECIDED) state[i] = C;
+}
+
 // Extended+i interpolation (interp_type 6/7; De Sterck, Falgout, Nolting,
 // Yang 2008) — the distance-2 repair for PMIS coarsenings, one native
 // pass (same stamped-accumulator idea as sk_classical_interp_*).
