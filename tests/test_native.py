@@ -94,3 +94,95 @@ def test_native_speed_smoke(rng, tmp_path):
     assert len(v) == n
     np.testing.assert_allclose(v[:5], vals[:5], rtol=1e-15)
     assert dt < 5.0
+
+
+class TestSetupKernels:
+    """Native setup kernels (spkernels.cpp) vs their numpy formulations —
+    exact parity on mixed-sign fixtures (the AMG setup path contract)."""
+
+    def _fixture(self, rng, n=3000, per_row=10, flip=0.15):
+        import scipy.sparse as sp
+        nnz = per_row * n
+        r = rng.integers(0, n, nnz)
+        c = rng.integers(0, n, nnz)
+        v = -np.abs(rng.standard_normal(nnz))
+        A = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+        A = A + A.T
+        A.data = np.where(rng.random(A.nnz) < flip, -A.data, A.data)
+        A.setdiag(np.abs(A).sum(axis=1).A1 + 0.5)
+        A = A.tocsr()
+        A.sort_indices()
+        return A
+
+    def _split(self, A, theta=0.25, seed=11):
+        from tpusolve.amg import strength as St, coarsen as Co
+        from tpusolve.amg import interp as I
+        S = St.classical_strength(A, theta)
+        split = Co.pmis(S, seed=seed)
+        return S, split, split == Co.C_PT, I._coarse_numbering(split)
+
+    def test_classical_interp_matches_numpy(self, rng):
+        from tpusolve.native import spk
+        from tpusolve.amg import interp as I
+        if not spk.available():
+            pytest.skip("native lib unavailable")
+        A = self._fixture(rng)
+        S, split, is_C, cmap = self._split(A)
+        Pn = spk.classical_interp(A, S.tocsr(), is_C, cmap)
+        assert Pn is not None
+        S2 = S.tocsr().copy()
+        S2.has_sorted_indices = False   # forces the numpy fallback
+        Pf = I.classical_interpolation(A, S2, split)
+        d = abs(Pn - Pf)
+        assert Pn.nnz == Pf.nnz
+        assert (d.max() if d.nnz else 0.0) < 1e-13
+
+    def test_exti_interp_matches_numpy(self, rng):
+        from tpusolve.native import spk
+        from tpusolve.amg import interp as I
+        if not spk.available():
+            pytest.skip("native lib unavailable")
+        A = self._fixture(rng)
+        S, split, is_C, cmap = self._split(A)
+        Pn = spk.exti_interp(A, S.tocsr(), is_C, cmap)
+        assert Pn is not None
+        S2 = S.tocsr().copy()
+        S2.has_sorted_indices = False
+        Pf = I.extended_i_interpolation(A, S2, split)
+        d = abs(Pn - Pf)
+        assert Pn.nnz == Pf.nnz
+        assert (d.max() if d.nnz else 0.0) < 1e-13
+
+    def test_pmis_matches_numpy(self, rng):
+        from tpusolve.native import spk
+        from tpusolve.amg import strength as St, coarsen as Co
+        if not spk.available():
+            pytest.skip("native lib unavailable")
+        A = self._fixture(rng)
+        n = A.shape[0]
+        S = St.classical_strength(A, 0.25)
+        rng2 = np.random.default_rng(1234)
+        infl = np.bincount(S.indices, minlength=n).astype(np.float64)
+        w = infl + rng2.random(n)
+        sn = spk.pmis(S.tocsr(), w)
+        # numpy reference: the synchronous-round formulation
+        Sc = S.tocsr()
+        Stt = Sc.T.tocsr()
+        state = np.full(n, Co.UNDECIDED, np.int64)
+        state[infl == 0] = Co.F_PT
+        G = ((Sc + Stt) > 0).tocsr()
+        active = state == Co.UNDECIDED
+        for _ in range(500):
+            if not active.any():
+                break
+            wa = np.where(active, w, -1.0)
+            nm = Co._neighbor_max(G, wa)
+            ismax = active & (wa > nm)
+            state[ismax] = Co.C_PT
+            newC = np.zeros(n)
+            newC[ismax] = 1.0
+            becomes_F = active & ~ismax & ((Sc @ newC) > 0)
+            state[becomes_F] = Co.F_PT
+            active = state == Co.UNDECIDED
+        state[state == Co.UNDECIDED] = Co.C_PT
+        assert np.array_equal(sn, state)
