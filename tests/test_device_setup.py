@@ -119,3 +119,53 @@ class TestHierarchyParity:
             assert not device_setup.eligible(A, BoomerAMGConfig())
         finally:
             del os.environ["TPUSOLVE_HOST_SETUP"]
+
+
+class TestShardedDeviceSetup:
+    """Multi-part (sharded) device setup (amg/device_setup_sharded.py) vs
+    the all-host pipeline on the same global operator."""
+
+    def _pair(self, mesh8, pgrid, interp_type, n=8):
+        from tpusolve.amg import device_setup_sharded as dss
+        cfg = BoomerAMGConfig(max_coarse_size=64, interp_type=interp_type)
+        A, b, _, lat = laplace27(mesh8, n, n, n, dtype=np.float64,
+                                 pgrid=pgrid, with_lattice=True)
+        os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"] = "1"
+        try:
+            assert dss.eligible(A, cfg, lat)
+            pre_dev = boomeramg_setup(A, cfg, lattice_parts=lat)
+            os.environ["TPUSOLVE_HOST_SETUP"] = "1"
+            try:
+                pre_host = boomeramg_setup(A, cfg)
+            finally:
+                del os.environ["TPUSOLVE_HOST_SETUP"]
+        finally:
+            del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
+        return A, b, pre_dev, pre_host
+
+    @pytest.mark.parametrize("pgrid", [(1, 1, 8), (2, 2, 2)])
+    @pytest.mark.parametrize("interp_type", [0, 3])
+    def test_hierarchy_matches_host(self, mesh8, pgrid, interp_type):
+        A, b, pre_dev, pre_host = self._pair(mesh8, pgrid, interp_type)
+        ld, lh = pre_dev.levels, pre_host.levels
+        assert len(ld) == len(lh)
+        for d, h in zip(ld, lh):
+            assert d.n == h.n and d.nnz == h.nnz
+        P_d, P_h = _tosp(ld[0].P), _tosp(lh[0].P)
+        assert P_d.nnz == P_h.nnz
+        dP = abs(P_d - P_h)
+        assert (dP.max() if dP.nnz else 0.0) < 1e-12
+        A1_d, A1_h = _tosp(ld[1].A), _tosp(lh[1].A)
+        d = abs(A1_d - A1_h)
+        assert (d.max() if d.nnz else 0.0) < 1e-10
+        R_d = _tosp(ld[0].R)
+        dR = abs(R_d - P_d.T.tocsr())
+        assert (dR.max() if dR.nnz else 0.0) == 0.0
+
+    def test_solve_matches_host(self, mesh8):
+        from tpusolve.krylov.cg import pcg_setup
+        A, b, pre_dev, pre_host = self._pair(mesh8, (2, 2, 2), 0)
+        rd = pcg_setup(A, pre_dev.apply, tol=1e-8, maxiter=60)(b)
+        rh = pcg_setup(A, pre_host.apply, tol=1e-8, maxiter=60)(b)
+        assert bool(rd.converged) and bool(rh.converged)
+        assert int(rd.iters) == int(rh.iters)

@@ -171,11 +171,15 @@ def _resolve_kinds(cfg: BoomerAMGConfig):
 
 def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
                     *, A_host: sp.csr_matrix | None = None,
-                    seed: int = 1234) -> AMGPreconditioner:
+                    seed: int = 1234, lattice_parts=None) -> AMGPreconditioner:
     """Build the AMG hierarchy for sharded operator ``A``.
 
     ``A_host`` may supply the host CSR to avoid a device gather when the
     caller already has it (e.g. straight after file load).
+
+    ``lattice_parts`` (stencil.laplace27 ``with_lattice=True`` payload)
+    enables the SHARDED device fine-level setup on multi-part meshes
+    (amg/device_setup_sharded.py).
 
     Set ``TPUSOLVE_SETUP_LOG=1`` for per-level phase timings (the analog
     of BoomerAMG's setup print_level output).
@@ -219,13 +223,21 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
     # on-device BoomerAMGSetup (src/HypreSystem.cpp:692) — and hand the 8x
     # smaller coarse level back to this host pipeline.  Also the only path
     # that never needs the fine host CSR (north-star problem sizes).
-    if (A.shape[0] > max_coarse and cfg.max_levels > 1
-            and device_setup.eligible(A, cfg)):
+    res = None
+    if A.shape[0] > max_coarse and cfg.max_levels > 1:
         log = (lambda s: print(s, flush=True)) if log_on else None
-        if log_on:
-            print(f"  setup level 0 [device]: n={A.shape[0]} nnz={A.nnz}",
-                  flush=True)
-        res = device_setup.device_level0(A, cfg, seed=seed, log=log)
+        from tpusolve.amg import device_setup_sharded
+        if device_setup_sharded.eligible(A, cfg, lattice_parts):
+            if log_on:
+                print(f"  setup level 0 [device, {A.nparts} parts]: "
+                      f"n={A.shape[0]} nnz={A.nnz}", flush=True)
+            res = device_setup_sharded.device_level0_sharded(
+                A, cfg, lattice_parts, seed=seed, log=log)
+        elif device_setup.eligible(A, cfg):
+            if log_on:
+                print(f"  setup level 0 [device]: n={A.shape[0]} "
+                      f"nnz={A.nnz}", flush=True)
+            res = device_setup.device_level0(A, cfg, seed=seed, log=log)
         if res is not None and res["nc"] >= min_coarse:
             lev = _make_level_device(mesh, A, res, kind_down, kind_up, cfg)
             levels.append(lev)

@@ -95,20 +95,9 @@ def _flat(comps, dims):
 # ----------------------------------------------------------------------
 # eligibility
 
-def eligible(A: ShardedMatrix, cfg) -> bool:
-    """Whether the fine level can run the device setup path."""
-    import os
-    if os.environ.get("TPUSOLVE_HOST_SETUP", "0") == "1":
-        return False
-    if not A.uses_dia or A.nparts != 1 or A.shape[0] != A.shape[1]:
-        return False
-    if A.has_offd:
-        return False
-    if A.shape[0] < int(os.environ.get("TPUSOLVE_DEVICE_SETUP_MIN_N",
-                                       MIN_DEVICE_N)):
-        return False
-    if len(A.dia_offsets) > MAX_DEVICE_OFFSETS:
-        return False
+def config_eligible(cfg) -> bool:
+    """Config-only part of the device-setup gate (shared with the sharded
+    path and the harness' host-CSR-skip decision)."""
     if cfg.interp_type not in (0, 3):
         return False
     if cfg.coarsen_type not in (0, 8, 10):
@@ -124,6 +113,23 @@ def eligible(A: ShardedMatrix, cfg) -> bool:
     if cfg.smooth_type is not None and cfg.smooth_num_levels > 0:
         return False
     return True
+
+
+def eligible(A: ShardedMatrix, cfg) -> bool:
+    """Whether the fine level can run the device setup path."""
+    import os
+    if os.environ.get("TPUSOLVE_HOST_SETUP", "0") == "1":
+        return False
+    if not A.uses_dia or A.nparts != 1 or A.shape[0] != A.shape[1]:
+        return False
+    if A.has_offd:
+        return False
+    if A.shape[0] < int(os.environ.get("TPUSOLVE_DEVICE_SETUP_MIN_N",
+                                       MIN_DEVICE_N)):
+        return False
+    if len(A.dia_offsets) > MAX_DEVICE_OFFSETS:
+        return False
+    return config_eligible(cfg)
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,670 @@
+"""Sharded (multi-chip) device-side fine-level AMG setup.
+
+``device_setup.device_level0`` runs the fine level on ONE chip; the
+north-star problems (BASELINE.json: 100M rows on a v5p-8) shard the fine
+operator over a device mesh.  This module runs the same offset-lattice
+algebra on every part simultaneously, with part seams handled by explicit
+z/y/x halo exchanges (``lax.ppermute`` under ``shard_map`` — the TPU-native
+analog of the reference's distributed BoomerAMGSetup neighbor exchanges,
+src/HypreSystem.cpp:692 with hypre's comm pkg underneath).
+
+Inputs: the generator's *full-lattice* plane stacks (stencil.laplace27
+``with_lattice=True``): per part, the (D, nz, ny, nx) DIA planes masked by
+the GLOBAL domain, so seam couplings (the diag block's offd entries) are
+present in the planes and neighbor operands arrive via halo.
+
+Key geometry facts this module relies on:
+
+* parts form a (px, py, pz) grid (stencil.part_to_grid ordering: ipx
+  fastest); the global row id is ``part * box + local`` — for a z-major
+  1-D grid this is linear in z across seams, but NO index arithmetic is
+  used across seams anyway: *identity planes* (global coarse / fine ids)
+  are halo-exchanged like data, so column indices are exact for any pgrid;
+* every stage's neighbor reads are bounded by the offset extremes, so a
+  pre-exchanged halo of width m = _pad_m(comps) (or 1 for distance-1
+  stages) makes all inner math part-local — the existing scan-contraction
+  machinery (device_setup._scan_accumulate) runs unchanged under vmap;
+* halos at the global boundary must be ZERO — exactly what ppermute's
+  "no source" fill provides.
+
+The produced hierarchy matches the host pipeline's up to accumulation-
+order roundoff (tests/test_device_setup.py::TestShardedDeviceSetup).
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpusolve.matrix.sharded import ShardedMatrix
+from tpusolve.matrix.spmv import _decompose_offset
+from tpusolve.amg.device_setup import (
+    _comps_add, _comps_neg, _flat, _pad_m, _pow2ceil_i, _rap_terms,
+    _round_up, _scan_accumulate, _strength_planes, MAX_DEVICE_OFFSETS,
+    UNDECIDED, C_PT, F_PT)
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        sm = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as sm
+    return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+# ----------------------------------------------------------------------
+# halo exchange
+
+def _part_index(pgrid):
+    px, py, pz = pgrid
+
+    def idx(ix, iy, iz):
+        return iz * px * py + iy * px + ix
+
+    return idx
+
+
+def _perms(pgrid):
+    """Static ppermute pairs per axis and direction.  ``<ax>+`` sends each
+    part's data to its +1 neighbor (filling that neighbor's LOW pad)."""
+    px, py, pz = pgrid
+    idx = _part_index(pgrid)
+    out = {k: [] for k in ("x+", "x-", "y+", "y-", "z+", "z-")}
+    for iz in range(pz):
+        for iy in range(py):
+            for ix in range(px):
+                if ix + 1 < px:
+                    out["x+"].append((idx(ix, iy, iz), idx(ix + 1, iy, iz)))
+                    out["x-"].append((idx(ix + 1, iy, iz), idx(ix, iy, iz)))
+                if iy + 1 < py:
+                    out["y+"].append((idx(ix, iy, iz), idx(ix, iy + 1, iz)))
+                    out["y-"].append((idx(ix, iy + 1, iz), idx(ix, iy, iz)))
+                if iz + 1 < pz:
+                    out["z+"].append((idx(ix, iy, iz), idx(ix, iy, iz + 1)))
+                    out["z-"].append((idx(ix, iy, iz + 1), idx(ix, iy, iz)))
+    return out
+
+
+def _halo3_block(a, h, axis, perms):
+    """Inside shard_map: (..., nz, ny, nx) -> (..., nz+2h, ny+2h, nx+2h)
+    with neighbor slabs in the pads (zeros at the global boundary).  The
+    x -> y -> z pass order forwards already-padded slabs, so edge/corner
+    halos fill without diagonal exchanges."""
+
+    def ex(a, axid, kplus, kminus):
+        sz = a.shape[axid]
+        hi = lax.slice_in_dim(a, sz - h, sz, axis=axid)
+        lo = lax.slice_in_dim(a, 0, h, axis=axid)
+        lo_pad = (lax.ppermute(hi, axis, perms[kplus]) if perms[kplus]
+                  else jnp.zeros_like(hi))
+        hi_pad = (lax.ppermute(lo, axis, perms[kminus]) if perms[kminus]
+                  else jnp.zeros_like(lo))
+        return jnp.concatenate([lo_pad, a, hi_pad], axis=axid)
+
+    a = ex(a, a.ndim - 1, "x+", "x-")
+    a = ex(a, a.ndim - 2, "y+", "y-")
+    a = ex(a, a.ndim - 3, "z+", "z-")
+    return a
+
+
+def _mk_exchange(mesh, axis, pgrid, h):
+    """Standalone jitted halo exchange for a sharded (P, ..., nz, ny, nx)
+    array."""
+    perms = _perms(pgrid)
+
+    def f(a):
+        return _halo3_block(a, h, axis, perms)
+
+    return jax.jit(_shard_map(f, mesh, P(axis), P(axis)))
+
+
+def _shift_h(a_h, comps, h):
+    """out[idx] = a[idx + comps] read from an h-haloed (*dims + 2h) box."""
+    dims = tuple(s - 2 * h for s in a_h.shape[-3:])
+    sl = tuple(slice(h + c, h + c + d) for c, d in zip(comps, dims))
+    return a_h[(...,) + sl]
+
+
+# ----------------------------------------------------------------------
+# eligibility
+
+def eligible(A: ShardedMatrix, cfg, lattice) -> bool:
+    import os
+    if os.environ.get("TPUSOLVE_HOST_SETUP", "0") == "1":
+        return False
+    if lattice is None or A.nparts <= 1 or not A.uses_dia:
+        return False
+    if A.shape[0] != A.shape[1]:
+        return False
+    if int(np.prod(lattice["pgrid"])) != A.nparts:
+        return False
+    if len(lattice["offsets"]) > MAX_DEVICE_OFFSETS:
+        return False
+    dims = tuple(int(d) for d in lattice["dims"])
+    try:
+        comps = [_decompose_offset(int(o), dims)
+                 for o in lattice["offsets"]]
+    except Exception:
+        return False
+    maxc = max((abs(c) for comp in comps for c in comp), default=0)
+    # halo slabs (width up to 3*max|c| for the coarse-offset lookups) must
+    # fit inside one part's box
+    if min(dims) < 3 * max(1, maxc):
+        return False
+    if A.shape[0] < int(os.environ.get("TPUSOLVE_DEVICE_SETUP_MIN_N",
+                                       1 << 16)):
+        return False
+    from tpusolve.amg.device_setup import config_eligible
+    return config_eligible(cfg)
+
+
+# ----------------------------------------------------------------------
+# stage 1: strength + PMIS (one shard_map; per-round halo refresh)
+
+def _stage1_sharded(mesh, axis, pgrid, comps, diag_slot, theta, max_rounds):
+    perms = _perms(pgrid)
+    D = len(comps)
+
+    def block(Lb, randb):
+        Av = Lb[0]
+        rnd = randb[0]
+        Sm = _strength_planes(Av, comps, diag_slot, theta)
+        Sm_h = _halo3_block(Sm, 1, axis, perms)
+        infl = jnp.zeros_like(Av[0])
+        for d in range(D):
+            infl = infl + _shift_h(Sm_h[d], _comps_neg(comps[d]), 1)
+        w = infl + rnd
+
+        rev = {tuple(c): i for i, c in enumerate(comps)}
+        G = []
+        for d in range(D):
+            g = Sm[d]
+            dneg = rev.get(tuple(_comps_neg(comps[d])))
+            if dneg is not None:
+                g = jnp.maximum(g, _shift_h(Sm_h[dneg], comps[d], 1))
+            G.append(g)
+        G = jnp.stack(G)
+
+        state0 = jnp.where(infl == 0, F_PT, UNDECIDED).astype(jnp.int32)
+        rem0 = lax.psum(jnp.sum(state0 == UNDECIDED), axis)
+
+        def body(carry):
+            state, rem, it = carry
+            active = state == UNDECIDED
+            wa = jnp.where(active, w, -1.0)
+            wa_h = _halo3_block(wa, 1, axis, perms)
+            nbrmax = jnp.full_like(w, -1.0)
+            for d in range(D):
+                moved = _shift_h(wa_h, comps[d], 1)
+                nbrmax = jnp.maximum(nbrmax,
+                                     jnp.where(G[d] > 0, moved, -1.0))
+            newC = active & (wa > nbrmax)
+            newCf_h = _halo3_block(newC.astype(w.dtype), 1, axis, perms)
+            hitC = jnp.zeros_like(w)
+            for d in range(D):
+                hitC = hitC + Sm[d] * _shift_h(newCf_h, comps[d], 1)
+            state = jnp.where(newC, C_PT, state)
+            state = jnp.where(active & ~newC & (hitC > 0), F_PT, state)
+            rem = lax.psum(jnp.sum(state == UNDECIDED), axis)
+            return state, rem, it + 1
+
+        def cond(carry):
+            state, rem, it = carry
+            return (it < max_rounds) & (rem > 0)
+
+        state, _, _ = lax.while_loop(cond, body,
+                                     (state0, rem0, jnp.int32(0)))
+        state = jnp.where(state == UNDECIDED, C_PT, state)
+        Cmask = (state == C_PT).astype(Av.dtype)
+        return Sm[None], Cmask[None]
+
+    return jax.jit(_shard_map(block, mesh, (P(axis), P(axis)),
+                              (P(axis), P(axis))))
+
+
+# ----------------------------------------------------------------------
+# stage 2: interpolation (vmapped local math on pre-haloed operands)
+
+def _interp_direct_sharded(Av, Sm, Cmask_h, comps, diag_slot):
+    """Per-part direct interpolation (interp_type 3) with haloed Cmask —
+    mirrors device_setup._interp_planes' direct branch."""
+    D = len(comps)
+    dt = Av.dtype
+    diag = Av[diag_slot]
+    Cmask = _shift_h(Cmask_h, (0, 0, 0), 1)
+    Fmask = 1.0 - Cmask
+    strongC = [Sm[d] * _shift_h(Cmask_h, comps[d], 1) for d in range(D)]
+    neg = [(Av[d] < 0).astype(dt) for d in range(D)]
+    pos = [(Av[d] > 0).astype(dt) for d in range(D)]
+    sum_neg = sum(Av[d] * neg[d] for d in range(D) if d != diag_slot)
+    sum_pos = sum(Av[d] * pos[d] for d in range(D) if d != diag_slot)
+    sC_neg = sum(Av[d] * neg[d] * strongC[d] for d in range(D))
+    sC_pos = sum(Av[d] * pos[d] * strongC[d] for d in range(D))
+    alpha = jnp.where(sC_neg != 0,
+                      sum_neg / jnp.where(sC_neg != 0, sC_neg, 1.0), 0.0)
+    beta = jnp.where(sC_pos != 0,
+                     sum_pos / jnp.where(sC_pos != 0, sC_pos, 1.0), 0.0)
+    dlump = jnp.where(sC_pos == 0, sum_pos, 0.0)
+    dii = diag + dlump
+    dii = jnp.where(dii != 0, dii, 1.0)
+    Pl = []
+    for d in range(D):
+        if d == diag_slot:
+            Pl.append(Cmask.astype(dt))
+            continue
+        scale = jnp.where(Av[d] < 0, alpha, beta)
+        Pl.append(Fmask * strongC[d] * (-scale * Av[d] / dii))
+    return jnp.stack(Pl)
+
+
+def _interp_classical_sharded(Av, Sm, Cmask_h, Ahatp, Cmp, comps,
+                              diag_slot, dims, dt):
+    """Per-part classical-modified interpolation; the distance-2 terms run
+    as the same term-table scans as device_setup._interp_classical_staged,
+    with halos (in Ahatp/Cmp pads) instead of zero pads."""
+    D = len(comps)
+    m = 1
+    for_d = {tuple(c): i for i, c in enumerate(comps)}
+    z0 = [0] * len(dims)
+
+    def scan_table(factors, out_idx, nout):
+        T = len(out_idx)
+        Tpad = _pow2ceil_i(T)
+        fpad = [(stack, list(idx) + [0] * (Tpad - T),
+                 list(starts) + [z0] * (Tpad - T))
+                for stack, idx, starts in factors]
+        oo = list(out_idx) + [nout] * (Tpad - T)
+        out = _scan_accumulate(nout + 1, dims, dt, fpad, oo)
+        return out[:nout]
+
+    i_s, i_cm, i_a, s_cm, s_a, s_0, oo = [], [], [], [], [], [], []
+    for df in range(D):
+        for dc in range(D):
+            e = for_d.get(tuple(_comps_add(comps[dc],
+                                           _comps_neg(comps[df]))))
+            if e is None:
+                continue
+            i_s.append(dc)
+            i_cm.append(0)
+            i_a.append(e)
+            s_0.append(z0)
+            s_cm.append([m + c for c in comps[dc]])
+            s_a.append([m + c for c in comps[df]])
+            oo.append(df)
+    Dden = scan_table([(Sm, i_s, s_0), (Cmp, i_cm, s_cm),
+                       (Ahatp, i_a, s_a)], oo, D)
+
+    Cmask = _shift_h(Cmask_h, (0, 0, 0), 1)
+    Fm_h = 1.0 - Cmask_h      # halo pads: 1 - 0 = "F" outside the domain…
+    # …but strongF multiplies by Sm which is 0 toward out-of-domain, so the
+    # wrong halo parity is never read where it matters
+    W, dlump, sum_weak = [], 0.0, 0.0
+    for df in range(D):
+        strongF = Sm[df] * _shift_h(Fm_h, comps[df], 1)
+        dead = strongF * (Dden[df] == 0)
+        dlump = dlump + Av[df] * dead
+        W.append(jnp.where(dead > 0, 0.0,
+                           strongF * Av[df]
+                           / jnp.where(Dden[df] != 0, Dden[df], 1.0)))
+        if df != diag_slot:
+            weak = (Av[df] != 0).astype(dt) * (1.0 - Sm[df])
+            sum_weak = sum_weak + Av[df] * weak
+    diag = Av[diag_slot]
+    dii = diag + sum_weak + dlump
+    dii = jnp.where(dii != 0, dii, 1.0)
+    W = jnp.stack(W)
+
+    i_w, i_a2, s_a2, oo2 = [], [], [], []
+    for dc in range(D):
+        for df in range(D):
+            e = for_d.get(tuple(_comps_add(comps[dc],
+                                           _comps_neg(comps[df]))))
+            if e is None:
+                continue
+            i_w.append(df)
+            i_a2.append(e)
+            s_a2.append([m + c for c in comps[df]])
+            oo2.append(dc)
+    T = scan_table([(W, i_w, [z0] * len(i_w)), (Ahatp, i_a2, s_a2)],
+                   oo2, D)
+
+    Fm = 1.0 - Cmask
+    Pl = []
+    for dc in range(D):
+        if dc == diag_slot:
+            Pl.append(Cmask.astype(dt))
+            continue
+        strongC = Sm[dc] * _shift_h(Cmask_h, comps[dc], 1)
+        num = Av[dc] * strongC + strongC * T[dc]
+        Pl.append(Fm * (-num / dii))
+    return jnp.stack(Pl)
+
+
+# ----------------------------------------------------------------------
+# packing helpers (per-part, vmapped)
+
+def _pack_rows(v_planes, c_planes, valid, K):
+    """(D, nc) value/col planes -> (nc, K) ELL via cursor scatter (rows
+    masked by ``valid`` stay empty)."""
+    D, ncap = v_planes.shape
+    rows = jnp.arange(ncap, dtype=jnp.int32)
+
+    def body(d, carry):
+        ov, oc, cur = carry
+        vv = jnp.where(valid, v_planes[d], 0.0)
+        nz = vv != 0
+        slot = jnp.where(nz, cur, K)
+        ov = ov.at[rows, slot].set(vv, mode="drop")
+        oc = oc.at[rows, slot].set(c_planes[d], mode="drop")
+        return ov, oc, cur + nz.astype(jnp.int32)
+
+    ov = jnp.zeros((ncap, K), v_planes.dtype)
+    oc = jnp.zeros((ncap, K), jnp.int32)
+    cur = jnp.zeros(ncap, jnp.int32)
+    ov, oc, cur = lax.fori_loop(0, D, body, (ov, oc, cur))
+    return ov, oc, cur
+
+
+# ----------------------------------------------------------------------
+# orchestrator
+
+def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
+                          log=None):
+    """Run the fine-level setup sharded over the mesh.  Returns the same
+    result dict as device_setup.device_level0, or None if coarsening
+    stalls."""
+    t0 = _time.perf_counter()
+
+    def _phase(label):
+        if log is not None:
+            t = _time.perf_counter()
+            print(f"    setup[dev-sharded]: {label:22s} {t - t0:8.2f}s",
+                  flush=True)
+        return _time.perf_counter()
+
+    mesh = A.mesh
+    axis = A.axis
+    pgrid = tuple(int(x) for x in lattice["pgrid"])
+    dims = tuple(int(d) for d in lattice["dims"])
+    offsets = tuple(int(o) for o in lattice["offsets"])
+    comps = [_decompose_offset(off, dims) for off in offsets]
+    diag_slot = offsets.index(0)
+    D = len(comps)
+    P_ = A.nparts
+    box = int(np.prod(dims))
+    n = A.shape[0]
+    L = lattice["stack"]                     # (P, D, nz, ny, nx) sharded
+    if L.dtype != A.dtype:
+        L = L.astype(A.dtype)    # precision policy: follow the solve dtype
+    dt = L.dtype
+
+    # --- strength + PMIS ---
+    theta = float(cfg.strong_threshold)
+    rng = np.random.default_rng(seed)
+    rand = rng.random(n).reshape((P_,) + dims).astype(dt)
+    from tpusolve.mesh import put_sharded
+    rand = put_sharded(rand, mesh, P(axis))
+    max_rounds = 10 * int(np.ceil(np.log2(n + 2))) + 20
+    stage1 = _stage1_sharded(mesh, axis, pgrid, comps, diag_slot, theta,
+                             max_rounds)
+    Sm, Cmask = stage1(L, rand)
+    counts = np.asarray(jnp.sum(Cmask.reshape(P_, -1), axis=1),
+                        np.int64)
+    nc = int(counts.sum())
+    t0 = _phase("strength+PMIS")
+    if nc == 0 or nc >= n:
+        return None
+
+    # --- interpolation ---
+    exch1 = _mk_exchange(mesh, axis, pgrid, 1)
+    Cmask_h = exch1(Cmask)
+    if cfg.interp_type == 3:
+        Pv = jax.jit(jax.vmap(
+            lambda Av, Sm, Ch: _interp_direct_sharded(
+                Av, Sm, Ch, comps, diag_slot)))(L, Sm, Cmask_h)
+    else:
+        Ahat = jax.jit(jax.vmap(lambda Av: jnp.stack(
+            [jnp.where(Av[d] * Av[diag_slot] < 0, Av[d], 0.0)
+             for d in range(D)])))(L)
+        Ahatp = exch1(Ahat)
+        Cmp = Cmask_h[:, None]               # (P, 1, dims+2)
+        Pv = jax.jit(jax.vmap(
+            lambda Av, Sm, Ch, Ap, Cp: _interp_classical_sharded(
+                Av, Sm, Ch, Ap, Cp, comps, diag_slot, dims, dt)))(
+                L, Sm, Cmask_h, Ahatp, Cmp)
+        del Ahat, Ahatp, Cmp
+    Pv.block_until_ready()
+    del Sm
+    t0 = _phase("interpolation")
+
+    # --- smoother data ---
+    @jax.jit
+    @jax.vmap
+    def smoother_data(Av):
+        diagp = Av[diag_slot].reshape(-1)
+        diagp = jnp.where(diagp != 0, diagp, 1.0)
+        l1 = sum(jnp.abs(Av[d]).reshape(-1) for d in range(D))
+        return 1.0 / diagp, 1.0 / jnp.where(l1 != 0, l1, 1.0)
+
+    dinv, dinv_l1 = smoother_data(L)
+    dinv = dinv.reshape(-1)
+    dinv_l1 = dinv_l1.reshape(-1)
+
+    # --- coarse numbering planes (identity through halos: exact cols for
+    # any pgrid) ---
+    ncap = max(8, int(counts.max()))
+    offs_excl = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+        np.int32)
+    offs_d = put_sharded(offs_excl.reshape(P_, 1), mesh, P(axis))
+
+    @jax.jit
+    @jax.vmap
+    def cnum_plane_fn(Cm, off):
+        c = jnp.cumsum(Cm.reshape(-1)).astype(jnp.int32) - 1 + off[0]
+        return c.reshape(dims)
+
+    cnum_pl = cnum_plane_fn(Cmask, offs_d)   # (P, *dims) int32 global ids
+
+    m = _pad_m(comps)
+    # coarse-operator offsets dc = da + dp2 - dp1 reach 3*max|c| per axis
+    # (beyond the scan pads m = 2*max|c|): the cnum lookup halo must cover
+    # them
+    hc = 3 * max(abs(c) for comp in comps for c in comp)
+    exch_hc = _mk_exchange(mesh, axis, pgrid, hc)
+    cnum_h = exch_hc(cnum_pl)                # halo hc: covers dc shifts
+
+    @jax.jit
+    @jax.vmap
+    def cidx_fn(Cm):
+        return jnp.nonzero(Cm.reshape(-1), size=ncap,
+                           fill_value=box - 1)[0].astype(jnp.int32)
+
+    cidx = cidx_fn(Cmask)                    # (P, ncap)
+    valid = put_sharded(
+        (np.arange(ncap)[None, :] < counts[:, None]), mesh, P(axis))
+
+    # --- Galerkin RAP (chunked scans per part; pack straight to ELL) ---
+    exch_m = _mk_exchange(mesh, axis, pgrid, m)
+
+    def pad_stack_sharded(S):
+        return exch_m(S)
+
+    Avp = pad_stack_sharded(L)
+    Pvp = pad_stack_sharded(Pv)
+
+    groups = _rap_terms(comps)
+    dcs = list(groups.keys())
+    plane_bytes = box * np.dtype(dt).itemsize
+    CHUNK = max(8, min(48, int(9e8 // max(plane_bytes, 1)) - 1))
+
+    from tpusolve.amg.device_setup import _rap_scan
+
+    def rap_chunk(Avp_p, Pvp_p, sub):
+        return _rap_scan(Avp_p, Pvp_p, comps, sub, groups, dims, dt, m)
+
+    @jax.jit
+    def count_chunk(planes, cidx, valid, cnts):
+        flat = planes.reshape(planes.shape[0], -1)
+        nz = (flat[:, cidx] != 0) & valid[None, :]
+        nz = nz[:-1]
+        return cnts + jnp.sum(nz, axis=0, dtype=jnp.int32)
+
+    # pass 1: per-part row widths
+    cnts = jnp.zeros((P_, ncap), jnp.int32)
+    cnts = jax.device_put(cnts, NamedSharding(mesh, P(axis)))
+    for s in range(0, len(dcs), CHUNK):
+        sub = dcs[s:s + CHUNK]
+        planes = jax.jit(jax.vmap(
+            lambda a, p: rap_chunk(a, p, sub)))(Avp, Pvp)
+        cnts = jax.vmap(count_chunk)(planes, cidx, valid, cnts)
+        del planes
+    Kc = min(len(dcs), max(8, _round_up(int(jnp.max(cnts)), 8)))
+    nnz_c = int(np.asarray(jnp.sum(cnts.reshape(P_, -1), axis=1),
+                           np.int64).sum())   # int64 on host: x64-agnostic
+    del cnts
+
+    # pass 2: pack each chunk's C rows into the per-part coarse ELL; cols
+    # come from the haloed cnum plane at the dc-shifted positions
+    def pack_chunk(planes, cidx, valid, cnum_h_p, ov, oc, cur, sub_comps,
+                   K):
+        nsub = planes.shape[0] - 1
+        flat = planes.reshape(planes.shape[0], -1)
+        v = flat[:, cidx]
+        cols = jnp.stack(
+            [_shift_h(cnum_h_p, c, hc).reshape(-1)[cidx]
+             for c in sub_comps] + [jnp.zeros_like(cidx)])
+        rows = jnp.arange(cidx.shape[0], dtype=jnp.int32)
+
+        def body(d, carry):
+            ov, oc, cur = carry
+            vv = jnp.where(valid, v[d], 0.0)
+            nz = vv != 0
+            slot = jnp.where(nz, cur, K)
+            ov = ov.at[rows, slot].set(vv, mode="drop")
+            oc = oc.at[rows, slot].set(cols[d], mode="drop")
+            return ov, oc, cur + nz.astype(jnp.int32)
+
+        return lax.fori_loop(0, nsub, body, (ov, oc, cur))
+
+    sh = NamedSharding(mesh, P(axis))
+    ell_v = jax.device_put(jnp.zeros((P_, ncap, Kc), dt), sh)
+    ell_c = jax.device_put(jnp.zeros((P_, ncap, Kc), jnp.int32), sh)
+    cur = jax.device_put(jnp.zeros((P_, ncap), jnp.int32), sh)
+    dmain = None
+    zero_dc_pos = next((i for i, dc in enumerate(dcs)
+                        if all(c == 0 for c in dc)), None)
+    for s in range(0, len(dcs), CHUNK):
+        sub = dcs[s:s + CHUNK]
+        sub_comps = tuple(tuple(c) for c in sub)
+        planes = jax.jit(jax.vmap(
+            lambda a, p: rap_chunk(a, p, sub)))(Avp, Pvp)
+        if zero_dc_pos is not None and s <= zero_dc_pos < s + len(sub):
+            k = zero_dc_pos - s
+            dmain = jax.vmap(
+                lambda pl, ci: pl.reshape(pl.shape[0], -1)[k][ci])(
+                planes, cidx)
+        packer = jax.jit(jax.vmap(
+            lambda pl, ci, va, ch, ov, oc, cu: pack_chunk(
+                pl, ci, va, ch, ov, oc, cu, sub_comps, Kc)),
+            donate_argnums=(4, 5, 6))
+        ell_v, ell_c, cur = packer(planes, cidx, valid, cnum_h,
+                                   ell_v, ell_c, cur)
+        del planes
+    del Avp, cur
+    t0 = _phase("galerkin RAP")
+
+    # --- P / R triples (host assembly via from_local_parts: the halo
+    # plan/diag-offd split for the rectangular transfers and the coarse
+    # operator is the one host-side step; per-part triples only) ---
+    row_off_f = np.asarray(A.row_offsets, np.int64)
+    row_off_c = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    cnum_h1 = exch1(cnum_pl)
+
+    @jax.jit
+    def p_planes(Pv, cnum_h1_p):
+        cols = jnp.stack([_shift_h(cnum_h1_p, comps[d], 1).reshape(-1)
+                          for d in range(D)])
+        return Pv.reshape(D, -1), cols
+
+    Pflat, Pcols = jax.vmap(p_planes)(Pv, cnum_h1)
+    Pv_host = np.asarray(Pflat)
+    Pc_host = np.asarray(Pcols)
+    del Pflat, Pcols, Pv
+
+    p_parts, r_parts, ac_parts = [], [], []
+    for p in range(P_):
+        vz = Pv_host[p]
+        nzd, nzi = np.nonzero(vz)
+        p_parts.append((nzi.astype(np.int64),
+                        Pc_host[p][nzd, nzi].astype(np.int64),
+                        vz[nzd, nzi]))
+        # R = P^T: coarse row = cnum at target, col = fine global source
+        gcol = p * box + nzi
+        crow = Pc_host[p][nzd, nzi].astype(np.int64) - row_off_c[p]
+        # rows must be local to part p's coarse range: P's columns point
+        # into neighbor parts for seam rows, so R seam entries belong to
+        # the neighbor part — bucket them there
+        r_parts.append((Pc_host[p][nzd, nzi].astype(np.int64),
+                        gcol.astype(np.int64), vz[nzd, nzi]))
+    del Pv_host, Pc_host
+
+    ell_v_h = np.asarray(ell_v)
+    ell_c_h = np.asarray(ell_c)
+    for p in range(P_):
+        mask = ell_v_h[p] != 0
+        ri, ki = np.nonzero(mask)
+        ac_parts.append((ri.astype(np.int64),
+                         ell_c_h[p][ri, ki].astype(np.int64),
+                         ell_v_h[p][ri, ki]))
+    del ell_v, ell_c
+
+    # R rows were produced under the SOURCE part; re-bucket by owning
+    # coarse part
+    all_r = np.concatenate([np.stack([r, c, v])
+                            for r, c, v in r_parts], axis=1)
+    owner = np.searchsorted(row_off_c, all_r[0], side="right") - 1
+    r_parts2 = []
+    for p in range(P_):
+        sel = owner == p
+        r_parts2.append(((all_r[0][sel] - row_off_c[p]).astype(np.int64),
+                         all_r[1][sel].astype(np.int64),
+                         all_r[2][sel]))
+    del all_r
+
+    Ac_sh = ShardedMatrix.from_local_parts(
+        mesh, (nc, nc), ac_parts, dtype=dt, axis=axis,
+        row_offsets=row_off_c, col_offsets=row_off_c)
+    P_sh = ShardedMatrix.from_local_parts(
+        mesh, (n, nc), p_parts, dtype=dt, axis=axis,
+        row_offsets=row_off_f, col_offsets=row_off_c)
+    R_sh = ShardedMatrix.from_local_parts(
+        mesh, (nc, n), r_parts2, dtype=dt, axis=axis,
+        row_offsets=row_off_c, col_offsets=row_off_f)
+    t0 = _phase("P/R/Ac assembly")
+
+    # --- compact coarse CSR (feeds the remaining host levels) ---
+    rows_h = np.concatenate([row_off_c[p] + ac_parts[p][0]
+                             for p in range(P_)])
+    cols_h = np.concatenate([ac_parts[p][1] for p in range(P_)])
+    vals_h = np.concatenate([ac_parts[p][2] for p in range(P_)])
+    Ah_c = sp.csr_matrix(
+        (vals_h.astype(np.float64), (rows_h, cols_h)), shape=(nc, nc))
+    t0 = _phase("coarse CSR fetch")
+
+    if dmain is None:
+        dmain_flat = np.zeros(nc, dt)
+    else:
+        dm = np.asarray(dmain)
+        dmain_flat = np.concatenate(
+            [dm[p][:counts[p]] for p in range(P_)])
+    # Cmask flat (padded layout = exact: row_pad == box)
+    return dict(Cmask=Cmask.reshape(-1), nc=nc, P=P_sh, R=R_sh,
+                Ac=Ac_sh, Ah_c=Ah_c, dinv=dinv, dinv_l1=dinv_l1,
+                coarse_row_offsets=row_off_c)

@@ -19,6 +19,8 @@ profiles are directly comparable.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -288,6 +290,19 @@ class LinearSystem:
         ls = self.config.linear_system
         with self.timers.span("Build 27Pt Stencil HYPRE matrix"):
             pfmg = self._precond_name == "pfmg"
+            # device AMG setup (single-chip or sharded) takes level 0 on
+            # device and never needs the fine host CSR — skip the (at 256^3:
+            # GB-scale, minutes of page faults) with_host build
+            from tpusolve.amg import device_setup as _ds
+            amg = (self._precond_name == "boomeramg"
+                   or self._method == "boomeramg")
+            n_glob = ls.nx * ls.ny * ls.nz * self.mesh.devices.size
+            min_n = int(os.environ.get("TPUSOLVE_DEVICE_SETUP_MIN_N",
+                                       _ds.MIN_DEVICE_N))
+            dev_amg = (amg and min(ls.nx, ls.ny) >= 3 and n_glob >= min_n
+                       and not ls.write_outputs
+                       and self.config.solver.matrix_ordering == "none"
+                       and _ds.config_eligible(self.config.boomeramg))
             if pfmg and min(ls.nx, ls.ny) >= 3:
                 # structured payload reuses the generator's arrays and the
                 # matrix-free setup never needs a host CSR
@@ -296,6 +311,18 @@ class LinearSystem:
                     with_parts=True)
                 self._host_parts = hp
                 self.A_host = None
+            elif dev_amg and self.mesh.devices.size > 1:
+                A, b, x_ref, lat = laplace27(
+                    self.mesh, ls.nx, ls.ny, ls.nz, dtype=self.dtype,
+                    with_lattice=True)
+                self._lattice = lat
+                self.A_host = None
+                self._host_parts = None
+            elif dev_amg:
+                A, b, x_ref = laplace27(self.mesh, ls.nx, ls.ny, ls.nz,
+                                        dtype=self.dtype)
+                self.A_host = None
+                self._host_parts = None
             elif self._needs_host_csr():
                 A, b, x_ref, A_host = laplace27(
                     self.mesh, ls.nx, ls.ny, ls.nz, dtype=self.dtype,
@@ -346,7 +373,9 @@ class LinearSystem:
                                               A_host=self.A_host)
             else:
                 pre = boomeramg_setup(self._A_solve, self.config.boomeramg,
-                                      A_host=self.A_host)
+                                      A_host=self.A_host,
+                                      lattice_parts=getattr(
+                                          self, "_lattice", None))
             if self.verbose:
                 self._log(pre.describe())
             return pre, pre
@@ -395,7 +424,8 @@ class LinearSystem:
             # AMG as the solver (ref: setup_boomeramg_solver,
             # src/HypreSystem.cpp:91-117) — reuse AMG's own tolerance keys
             pre = self._amg_solver_pre = boomeramg_setup(
-                A, self.config.boomeramg, A_host=self.A_host)
+                A, self.config.boomeramg, A_host=self.A_host,
+                lattice_parts=getattr(self, "_lattice", None))
             inner = lambda b, x0=None: pre.solve(
                 b, x0, tol=inner_stat_tol, maxiter=s.max_iterations)
         elif method == "ilu":

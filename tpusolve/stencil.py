@@ -157,6 +157,38 @@ def _dia_box_device(nx, ny, nz, dtype):
     return offs[order], gen
 
 
+def _dia_box_lattice(part, nx, ny, nz, pgrid, dtype):
+    """Full-lattice DIA planes for one part: like ``_dia_box`` but masked by
+    the GLOBAL domain, so couplings crossing part seams are included (the
+    entries the box-consistent diag block zeroes and stores as offd).  This
+    is the operator view the sharded device setup consumes
+    (amg/device_setup_sharded.py): every part sees its true lattice rows
+    and neighbor data arrives via halo exchange."""
+    px, py, pz = pgrid
+    ipx, ipy, ipz = part_to_grid(part, pgrid)
+    gx0, gy0, gz0 = ipx * nx, ipy * ny, ipz * nz
+    gx_max, gy_max, gz_max = px * nx, py * ny, pz * nz
+    ix = np.arange(nx)
+    iy = np.arange(ny)
+    iz = np.arange(nz)
+    offs = np.array([dz * ny * nx + dy * nx + dx
+                     for dx, dy, dz in _OFFSETS], np.int64)
+    order = np.argsort(offs)
+    planes = np.zeros((27, nz, ny, nx), dtype)
+    for k, kk in enumerate(order):
+        dx, dy, dz = _OFFSETS[kk]
+        if dx == dy == dz == 0:
+            planes[k] = 26.0
+            continue
+        m = (((gz0 + iz + dz >= 0) & (gz0 + iz + dz < gz_max))[:, None, None]
+             & ((gy0 + iy + dy >= 0)
+                & (gy0 + iy + dy < gy_max))[None, :, None]
+             & ((gx0 + ix + dx >= 0)
+                & (gx0 + ix + dx < gx_max))[None, None, :])
+        planes[k][m] = -1.0
+    return offs[order], planes
+
+
 def _local_offd_and_rhs(part, nx, ny, nz, pgrid, dtype):
     """Off-owner (ghost shell) entries + RHS for one part."""
     px, py, pz = pgrid
@@ -211,7 +243,8 @@ def _local_offd_and_rhs(part, nx, ny, nz, pgrid, dtype):
 def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
               dtype=np.float64, pgrid: tuple[int, int, int] | None = None,
               axis: str = ROWS_AXIS, with_host: bool = False,
-              with_parts: bool = False, device: bool | None = None):
+              with_parts: bool = False, device: bool | None = None,
+              with_lattice: bool = False):
     """Build the sharded 27-pt system on ``mesh``.
 
     Returns ``(A, b, x_ref)``: the sharded matrix, the padded sharded RHS,
@@ -278,6 +311,18 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
         if with_parts:
             host_parts = (_dia_arrays_to_dict(offs, dia_one, (nz, ny, nx)),
                           offd_parts)
+        if with_lattice:
+            # full-lattice plane stacks (seam couplings included) for the
+            # sharded device setup (amg/device_setup_sharded.py)
+            import jax
+            from jax.sharding import PartitionSpec as P
+            from tpusolve.mesh import put_sharded
+            stacks = np.stack([
+                _dia_box_lattice(p, nx, ny, nz, pgrid, dtype)[1]
+                for p in range(nparts)])
+            lattice = dict(
+                stack=put_sharded(stacks, mesh, P(axis)),
+                offsets=offs, pgrid=pgrid, dims=(nz, ny, nx))
     else:
         # tiny boxes can alias DIA offsets; use the generic COO path
         parts, rhs_parts = [], []
@@ -292,6 +337,11 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
                          dtype=dtype, axis=axis)
     x_ref = to_device_vector(mesh, np.ones(n, dtype), A.row_offsets,
                              A.row_pad, dtype=dtype, axis=axis)
+    if with_lattice:
+        if parts is not None:
+            raise ValueError("with_lattice requires the DIA fast path "
+                             "(nx, ny >= 3)")
+        return A, b, x_ref, lattice
     if with_parts:
         if parts is not None:
             raise ValueError("with_parts requires the DIA fast path "
