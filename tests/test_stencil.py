@@ -111,7 +111,23 @@ class TestDeviceGeneration:
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
 
-    def test_device_gen_rejects_multipart(self, mesh8):
+    def test_device_gen_rejects_host_payloads(self, mesh8):
         import pytest as _pytest
         with _pytest.raises(ValueError):
-            laplace27(mesh8, 4, 4, 4, device=True)
+            laplace27(mesh8, 4, 4, 4, device=True, with_host=True)
+
+    def test_device_gen_multipart_matches_host(self, mesh8):
+        """Sharded on-device generation (device=True, 8 parts): matrix, rhs,
+        and lattice payload bit-match the host generator."""
+        import jax
+        A1, b1, x1, lat1 = laplace27(mesh8, 6, 5, 4, dtype=np.float64,
+                                     pgrid=(2, 2, 2), with_lattice=True)
+        A2, b2, x2, lat2 = laplace27(mesh8, 6, 5, 4, dtype=np.float64,
+                                     pgrid=(2, 2, 2), with_lattice=True,
+                                     device=True)
+        d = abs(A1.to_scipy() - A2.to_scipy())
+        assert (d.max() if d.nnz else 0.0) == 0.0
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(lat1["stack"]),
+                                      np.asarray(lat2["stack"]))
+        assert list(lat1["offsets"]) == list(lat2["offsets"])

@@ -189,6 +189,68 @@ def _dia_box_lattice(part, nx, ny, nz, pgrid, dtype):
     return offs[order], planes
 
 
+def _dia_box_device_sharded(mesh, axis, nx, ny, nz, pgrid, dtype):
+    """On-device per-part generation for multi-part meshes.
+
+    Returns ``(offs, lat, dia, rhs)``: the offset list plus three SHARDED
+    device arrays — the full-lattice plane stack (global-domain masks; the
+    sharded device setup's operand), the box-consistent DIA stack (the
+    SpMV diag block; box masks, a subset of the global masks), and the
+    weak-scaling RHS (= row sums of the lattice stack, i.e. b = A @ 1).
+    Host work is O(P) scalars — no GB-scale tables on paravirtual hosts.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from tpusolve.mesh import put_sharded
+
+    px, py, pz = pgrid
+    nparts = px * py * pz
+    gx_max, gy_max, gz_max = px * nx, py * ny, pz * nz
+    offs = np.array([dz * ny * nx + dy * nx + dx
+                     for dx, dy, dz in _OFFSETS], np.int64)
+    order = np.argsort(offs)
+    base = np.array([part_to_grid(p, pgrid) for p in range(nparts)],
+                    np.int32) * np.array([nx, ny, nz], np.int32)
+    base_d = put_sharded(base, mesh, P(axis))
+
+    @jax.jit
+    @jax.vmap
+    def gen(base):
+        bx, by, bz = base[0], base[1], base[2]
+        ix = jnp.arange(nx)
+        iy = jnp.arange(ny)
+        iz = jnp.arange(nz)
+        lat, dia = [], []
+        for kk in order:
+            dx, dy, dz = _OFFSETS[kk]
+            if dx == dy == dz == 0:
+                c = jnp.full((nz, ny, nx), 26.0, dtype)
+                lat.append(c)
+                dia.append(c)
+                continue
+            gm = (((bz + iz + dz >= 0)
+                   & (bz + iz + dz < gz_max))[:, None, None]
+                  & ((by + iy + dy >= 0)
+                     & (by + iy + dy < gy_max))[None, :, None]
+                  & ((bx + ix + dx >= 0)
+                     & (bx + ix + dx < gx_max))[None, None, :])
+            bm = (((iz + dz >= 0) & (iz + dz < nz))[:, None, None]
+                  & ((iy + dy >= 0) & (iy + dy < ny))[None, :, None]
+                  & ((ix + dx >= 0) & (ix + dx < nx))[None, None, :])
+            neg = jnp.asarray(-1.0, dtype)
+            zero = jnp.asarray(0.0, dtype)
+            lat.append(jnp.where(gm, neg, zero))
+            dia.append(jnp.where(bm, neg, zero))   # box mask subset of gm
+        lat = jnp.stack(lat)
+        dia = jnp.stack(dia)
+        rhs = jnp.sum(lat, axis=0).reshape(-1)     # b = A @ 1 (row sums)
+        return lat, dia, rhs
+
+    lat, dia, rhs = gen(base_d)
+    return offs[order], lat, dia, rhs
+
+
 def _local_offd_and_rhs(part, nx, ny, nz, pgrid, dtype):
     """Off-owner (ghost shell) entries + RHS for one part."""
     px, py, pz = pgrid
@@ -269,28 +331,45 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
     n = box * nparts
 
     if device is None:
-        # auto: big single-part boxes on an accelerator skip the host table
-        device = (nparts == 1 and nx >= 3 and ny >= 3
+        # auto: big per-part boxes on an accelerator skip the host tables
+        device = (nx >= 3 and ny >= 3
                   and not with_host and not with_parts
                   and box * 27 * np.dtype(dtype).itemsize >= 128 << 20
                   and mesh.devices.flat[0].platform != "cpu")
     if device:
-        if nparts != 1 or nx < 3 or ny < 3 or with_host or with_parts:
-            raise ValueError("device stencil generation is single-part, "
-                             "nx/ny >= 3, without host payloads")
+        if nx < 3 or ny < 3 or with_host or with_parts:
+            raise ValueError("device stencil generation requires nx/ny >= 3 "
+                             "and no host payloads")
         import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        offs, gen = _dia_box_device(nx, ny, nz, dtype)
-        dia_dev, rhs_dev = gen()
-        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
-                 np.zeros(0, dtype))
-        A = ShardedMatrix.from_dia_parts(
-            mesh, (n, n), offs, dia_dev.reshape(1, 27, box), [empty],
-            dtype=dtype, axis=axis, dia_shape=(nz, ny, nx))
-        sharding = NamedSharding(mesh, P(axis))
-        b = jax.device_put(rhs_dev, sharding)
         import jax.numpy as jnp
-        x_ref = jax.device_put(jnp.ones(box, dtype), sharding)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P(axis))
+        if nparts == 1:
+            offs, gen = _dia_box_device(nx, ny, nz, dtype)
+            dia_dev, rhs_dev = gen()
+            lat = dia_dev[None]        # no seams: lattice == box planes
+            dia_dev = dia_dev.reshape(1, 27, box)
+            offd_parts = [(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                           np.zeros(0, dtype))]
+            b = jax.device_put(rhs_dev, sharding)
+        else:
+            offs, lat, dia_box, rhs_dev = _dia_box_device_sharded(
+                mesh, axis, nx, ny, nz, pgrid, dtype)
+            dia_dev = dia_box.reshape(nparts, 27, box)
+            # offd (ghost shells) stays a host plan build: O(surface) data
+            offd_parts = [_local_offd_and_rhs(p, nx, ny, nz, pgrid,
+                                              dtype)[0]
+                          for p in range(nparts)]
+            b = jax.jit(lambda r: r.reshape(-1), out_shardings=sharding)(
+                rhs_dev)
+        A = ShardedMatrix.from_dia_parts(
+            mesh, (n, n), offs, dia_dev, offd_parts,
+            dtype=dtype, axis=axis, dia_shape=(nz, ny, nx))
+        x_ref = jax.device_put(jnp.ones(n, dtype), sharding)
+        if with_lattice:
+            lattice = dict(stack=lat.reshape((nparts, 27, nz, ny, nx)),
+                           offsets=offs, pgrid=pgrid, dims=(nz, ny, nx))
+            return A, b, x_ref, lattice
         return A, b, x_ref
 
     if nx >= 3 and ny >= 3:
