@@ -22,6 +22,8 @@ import os
 
 import numpy as np
 
+import tpusolve  # noqa: F401  (allocator/THP tuning before big buffers)
+
 
 def _box_27pt_graph(nx: int, ny: int, nz: int):
     """COO pattern of the 27-pt stencil on an nx*ny*nz box (int64)."""

@@ -22,6 +22,15 @@ import os as _os
 import numpy as _np
 
 if _os.environ.get("TPUSOLVE_HUGEPAGE", "0") != "1":
+    # Process-wide THP opt-out (PR_SET_THP_DISABLE): covers glibc arena
+    # mmaps and third-party allocators, not just numpy's own madvise —
+    # measured 28x faster first-touch of fresh numpy buffers on this
+    # fragmented paravirtual host (2.0 s -> 0.07 s per 3M-element op).
+    try:
+        import ctypes as _ct
+        _ct.CDLL("libc.so.6", use_errno=True).prctl(41, 1, 0, 0, 0)
+    except Exception:  # pragma: no cover - non-Linux
+        pass
     # numpy's default MADV_HUGEPAGE makes every large allocation stall on
     # synchronous THP compaction once host memory fragments — measured
     # multi-second pauses inside basic 7M-element ops on paravirtualized
