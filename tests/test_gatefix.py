@@ -56,3 +56,20 @@ class TestGateFixtures:
         out = capsys.readouterr().out
         assert rc == 0, out[-800:]
         assert "Check solution: PASSED" in out
+
+    def test_gate4_3component_cli(self, mesh8, tmp_path, capsys):
+        """Segregated 3-RHS momentum (x/y/z) through the CLI — the
+        reference's multi-component path (src/HypreSystem.cpp:1636-1645)."""
+        import gatefix
+        m, rs, ss, n = gatefix.write_momentum_ij(str(tmp_path), 8, 8, 8,
+                                                 ncomp=3)
+        y = tmp_path / "gate4c.yaml"
+        y.write_text(gatefix.GATE4_YAML_3COMP.format(
+            mat=m, rhs0=rs[0], rhs1=rs[1], rhs2=rs[2],
+            sln0=ss[0], sln1=ss[1], sln2=ss[2], nfiles=2))
+        from tpusolve.harness import cli
+        rc = cli.main([str(y)])
+        out = capsys.readouterr().out
+        assert rc == 0, out[-800:]
+        assert "Check solution: PASSED" in out
+        assert out.count("Solve") >= 3   # three component solves reported

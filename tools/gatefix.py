@@ -101,8 +101,14 @@ def write_pressure_mm(dirpath: str, nx: int = 64, ny: int = 64,
 
 
 def write_momentum_ij(dirpath: str, nx: int = 48, ny: int = 48,
-                      nz: int = 48, seed: int = 11, nfiles: int = 2):
-    """Gate-4 momentum fixture as HYPRE-IJ multi-file dumps."""
+                      nz: int = 48, seed: int = 11, nfiles: int = 2,
+                      ncomp: int = 1):
+    """Gate-4 momentum fixture as HYPRE-IJ multi-file dumps.
+
+    ``ncomp=3`` writes per-component rhs/sln files (x/y/z momentum — the
+    reference's segregated multi-RHS path, src/HypreSystem.cpp:1636-1645):
+    component k solves against a distinct smooth reference field."""
+    import scipy.sparse as sp
     from tpusolve.formats import ij
     from tpusolve.mesh import row_decomposition
     os.makedirs(dirpath, exist_ok=True)
@@ -110,14 +116,28 @@ def write_momentum_ij(dirpath: str, nx: int = 48, ny: int = 48,
                                          nonsym=0.35)
     offsets = row_decomposition(n, nfiles)
     mprefix = os.path.join(dirpath, "momentum.IJ.mat")
-    rprefix = os.path.join(dirpath, "momentum_rhs.IJ.vec")
-    sprefix = os.path.join(dirpath, "momentum_sln.IJ.vec")
     order = np.argsort(rows, kind="stable")
     ij.write_matrix(mprefix, rows[order], cols[order], vals[order],
                     offsets, ncols=n)
-    ij.write_vector(rprefix, b, offsets)
-    ij.write_vector(sprefix, np.ones(n), offsets)
-    return mprefix, rprefix, sprefix, n
+    if ncomp == 1:
+        rprefix = os.path.join(dirpath, "momentum_rhs.IJ.vec")
+        sprefix = os.path.join(dirpath, "momentum_sln.IJ.vec")
+        ij.write_vector(rprefix, b, offsets)
+        ij.write_vector(sprefix, np.ones(n), offsets)
+        return mprefix, rprefix, sprefix, n
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    rpres, spres = [], []
+    idx = np.arange(n)
+    for k in range(ncomp):
+        # distinct smooth reference per component (constant + low-freq)
+        xk = 1.0 + 0.25 * np.sin(2 * np.pi * (k + 1) * idx / n)
+        rp = os.path.join(dirpath, f"momentum_rhs{k}.IJ.vec")
+        sps = os.path.join(dirpath, f"momentum_sln{k}.IJ.vec")
+        ij.write_vector(rp, A @ xk, offsets)
+        ij.write_vector(sps, xk, offsets)
+        rpres.append(rp)
+        spres.append(sps)
+    return mprefix, rpres, spres, n
 
 
 GATE3_YAML = """\
@@ -166,17 +186,49 @@ ilu_preconditioner_settings:
   ilu_upper_jacobi_iters: 5
 """
 
+GATE4_YAML_3COMP = """\
+# gate 4 (3-component): momentum x/y/z as segregated multi-RHS solves
+# against one IJ matrix (ref: src/HypreSystem.cpp:1636-1645)
+linear_system:
+  type: hypre_ij
+  matrix_file: {mat}
+  num_components: 3
+  segregated_solve: yes
+  rhs_file0: {rhs0}
+  rhs_file1: {rhs1}
+  rhs_file2: {rhs2}
+  sln_file0: {sln0}
+  sln_file1: {sln1}
+  sln_file2: {sln2}
+  num_partitions: {nfiles}
+solver_settings:
+  method: bicg
+  preconditioner: ilu
+  tolerance: 1.0e-8
+  max_iterations: 500
+  precision: mixed
+ilu_preconditioner_settings:
+  ilu_type: 0
+  ilu_fill_level: 0
+  ilu_lower_jacobi_iters: 5
+  ilu_upper_jacobi_iters: 5
+"""
+
 
 def prepare(dirpath: str, side3: int = 64, side4: int = 48):
-    """Write both fixtures + YAMLs; returns (gate3_yaml, gate4_yaml)."""
+    """Write both fixtures + YAMLs; returns (gate3_yaml, gate4_yaml).
+    Gate 4 is the 3-component (x/y/z momentum) segregated form."""
     m3, r3, s3, _ = write_pressure_mm(dirpath, side3, side3, side3)
-    m4, r4, s4, _ = write_momentum_ij(dirpath, side4, side4, side4)
+    m4, r4s, s4s, _ = write_momentum_ij(dirpath, side4, side4, side4,
+                                        ncomp=3)
     y3 = os.path.join(dirpath, "gate3.yaml")
     y4 = os.path.join(dirpath, "gate4.yaml")
     with open(y3, "w") as fh:
         fh.write(GATE3_YAML.format(mat=m3, rhs=r3, sln=s3))
     with open(y4, "w") as fh:
-        fh.write(GATE4_YAML.format(mat=m4, rhs=r4, sln=s4, nfiles=2))
+        fh.write(GATE4_YAML_3COMP.format(
+            mat=m4, rhs0=r4s[0], rhs1=r4s[1], rhs2=r4s[2],
+            sln0=s4s[0], sln1=s4s[1], sln2=s4s[2], nfiles=2))
     return y3, y4
 
 
