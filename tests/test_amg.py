@@ -435,3 +435,53 @@ class TestAggressiveAndSmoothers:
                               max_coarse_size=32)
         pre = boomeramg_setup(A, cfg)
         assert any("unsupported" in n for n in pre.notes)
+
+
+class TestSmootherDtype:
+    """smoother_dtype: bfloat16 — reduced-precision smoother twin (TPU
+    extension; halves smoother HBM reads).  Preconditioner quality may
+    cost a few Krylov iterations, never correctness."""
+
+    def test_bf16_twin_converges(self, mesh1):
+        import jax.numpy as jnp
+        from tpusolve.stencil import laplace27
+        from tpusolve.amg.builder import boomeramg_setup
+        from tpusolve.config import BoomerAMGConfig
+        from tpusolve.krylov.cg import pcg_setup
+        A, b, _ = laplace27(mesh1, 12, 12, 12, dtype=np.float32)
+        base = boomeramg_setup(A, BoomerAMGConfig(max_coarse_size=64))
+        lo = boomeramg_setup(A, BoomerAMGConfig(max_coarse_size=64,
+                                                smoother_dtype="bfloat16"))
+        assert lo.levels[0].A_relax is not None
+        assert lo.levels[0].A_relax.dtype == jnp.bfloat16
+        assert base.levels[0].A_relax is None
+        r0 = pcg_setup(A, base.apply, tol=1e-6, maxiter=60)(b)
+        r1 = pcg_setup(A, lo.apply, tol=1e-6, maxiter=60)(b)
+        assert bool(r0.converged) and bool(r1.converged)
+        assert int(r1.iters) <= int(r0.iters) + 3
+
+    def test_bf16_structured(self, mesh1):
+        import jax.numpy as jnp
+        from tpusolve.stencil import laplace27
+        from tpusolve.amg.structured import structured_mg_setup_fast
+        from tpusolve.config import BoomerAMGConfig
+        from tpusolve.krylov.cg import pcg_setup
+        A, b, _, hp = laplace27(mesh1, 16, 16, 16, dtype=np.float32,
+                                with_parts=True)
+        pre = structured_mg_setup_fast(
+            A, BoomerAMGConfig(smoother_dtype="bfloat16"), host_parts=hp)
+        assert pre.levels[0].A_relax is not None
+        assert pre.levels[0].A_relax.dtype == jnp.bfloat16
+        res = pcg_setup(A, pre.apply, tol=1e-6, maxiter=60)(b)
+        assert bool(res.converged)
+
+    def test_yaml_key_parses(self, tmp_path):
+        from tpusolve.config import load_config
+        y = tmp_path / "c.yaml"
+        y.write_text("""
+linear_system: {type: build_27pt_stencil, nx: 8, ny: 8, nz: 8}
+solver_settings: {method: cg, preconditioner: boomeramg}
+boomeramg_settings: {smoother_dtype: bfloat16}
+""")
+        cfg = load_config(str(y))
+        assert cfg.boomeramg.smoother_dtype == "bfloat16"

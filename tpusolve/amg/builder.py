@@ -66,6 +66,7 @@ class Level:
     ilu_L: ShardedMatrix | None = None   # complex (ILU) smoother factors
     ilu_U: ShardedMatrix | None = None   # (smooth_type, ref :251-321)
     ilu_dinv: jax.Array | None = None
+    A_relax: ShardedMatrix | None = None  # reduced-precision smoother twin
     cheby_bounds: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True))
     n: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -397,6 +398,17 @@ def _coarse_solver_data(mesh, Ah, A_sh, dtype, kind_coarse):
     return replicated(mesh, np.zeros((1, 1), dtype))
 
 
+def _relax_twin(A_sh: ShardedMatrix, cfg) -> ShardedMatrix | None:
+    """bfloat16 smoother twin (``smoother_dtype: bfloat16``): halves the
+    smoother matvecs' HBM reads.  Only for XLA-executed layouts — the
+    Pallas BDIA/BELL kernels are dtype-specialized for f32."""
+    if getattr(cfg, "smoother_dtype", "match") != "bfloat16":
+        return None
+    if A_sh.uses_bdia or A_sh.uses_bell:
+        return None
+    return A_sh.astype(jnp.bfloat16)
+
+
 def _make_level_device(mesh, A_sh, res, kind_down, kind_up, cfg) -> Level:
     """Level-0 construction from the device setup results (no host CSR)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -414,6 +426,7 @@ def _make_level_device(mesh, A_sh, res, kind_down, kind_up, cfg) -> Level:
         cmask = put(res["Cmask"].astype(A_sh.dtype))
     return Level(A=A_sh, P=res["P"], R=res["R"], dinv_l1=dinv_l1,
                  dinv=put(res["dinv"]), cmask=cmask,
+                 A_relax=_relax_twin(A_sh, cfg),
                  cheby_bounds=cheby_bounds, n=A_sh.shape[0], nnz=A_sh.nnz)
 
 
@@ -438,6 +451,7 @@ def _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg,
         lam = smoothers.chebyshev_bounds(Ah, dinv_host)
         cheby_bounds = (cfg.cheby_fraction * lam, 1.1 * lam)
     return Level(A=A_sh, P=None, R=None, dinv_l1=dinv_l1, dinv=dinv,
+                 A_relax=_relax_twin(A_sh, cfg),
                  cheby_bounds=cheby_bounds, n=Ah.shape[0], nnz=Ah.nnz)
 
 
@@ -473,6 +487,10 @@ def _build_cycle(pre: AMGPreconditioner, kind_down, kind_up,
     def smooth(lev: Level, b, x, kind, ns):
         if ns <= 0:
             return x
+        # reduced-precision smoother twin (smoother_dtype: bfloat16):
+        # relaxation matvecs read half the HBM bytes; x/accumulation stay
+        # in the solve dtype via jnp promotion
+        A_s = lev.A_relax if lev.A_relax is not None else lev.A
         if lev.ilu_L is not None:
             # complex (ILU) smoother replaces relaxation on this level
             from jax import lax
@@ -486,23 +504,23 @@ def _build_cycle(pre: AMGPreconditioner, kind_down, kind_up,
         use_cf = cf_order and lev.cmask is not None
         if kind == smoothers.RELAX_L1_JACOBI:
             if use_cf:
-                return smoothers.cf_jacobi_sweeps(lev.A, lev.dinv_l1,
+                return smoothers.cf_jacobi_sweeps(A_s, lev.dinv_l1,
                                                   lev.cmask, b, x, ns, 1.0)
-            return smoothers.jacobi_sweeps(lev.A, lev.dinv_l1, b, x, ns, 1.0)
+            return smoothers.jacobi_sweeps(A_s, lev.dinv_l1, b, x, ns, 1.0)
         if kind == smoothers.RELAX_JACOBI:
             if use_cf:
-                return smoothers.cf_jacobi_sweeps(lev.A, lev.dinv, lev.cmask,
+                return smoothers.cf_jacobi_sweeps(A_s, lev.dinv, lev.cmask,
                                                   b, x, ns, weight)
-            return smoothers.jacobi_sweeps(lev.A, lev.dinv, b, x, ns, weight)
+            return smoothers.jacobi_sweeps(A_s, lev.dinv, b, x, ns, weight)
         if kind == smoothers.RELAX_CHEBYSHEV:
             for _ in range(ns):
                 if cfg.cheby_variant == 4:
                     # fourth-kind (Lottes 2022): only the upper bound
-                    x = smoothers.chebyshev4_sweeps(lev.A, lev.dinv, b, x,
+                    x = smoothers.chebyshev4_sweeps(A_s, lev.dinv, b, x,
                                                     lev.cheby_bounds[1],
                                                     cfg.cheby_order)
                 else:
-                    x = smoothers.chebyshev_sweeps(lev.A, lev.dinv, b, x,
+                    x = smoothers.chebyshev_sweeps(A_s, lev.dinv, b, x,
                                                    lev.cheby_bounds,
                                                    cfg.cheby_order)
             return x

@@ -314,7 +314,9 @@ def _make_level_structured(mesh, A_sh, dia, offd_parts, box, dtype,
                     if need_cheby else None)
     nnz = (sum(int(np.count_nonzero(v)) for v in dia.values()) * nparts
            + sum(len(o[0]) for o in offd_parts))
+    from tpusolve.amg.builder import _relax_twin
     return Level(A=A_sh, P=None, R=None, dinv_l1=dinv_l1, dinv=dinv,
+                 A_relax=_relax_twin(A_sh, cfg),
                  cheby_bounds=cheby_bounds, n=R * nparts, nnz=nnz)
 
 

@@ -133,6 +133,12 @@ class BoomerAMGConfig:
     smooth_type: int | None = None
     smooth_num_sweeps: int = 1
     smooth_num_levels: int = 0
+    # TPU extension (no reference analog): value dtype for the SMOOTHER
+    # matvecs only — "bfloat16" halves smoother HBM traffic inside the
+    # V-cycle (residual/transfer matvecs keep the solve dtype; the cycle
+    # is a preconditioner, so reduced smoother precision costs at most a
+    # few Krylov iterations, never correctness)
+    smoother_dtype: str = "match"   # match | bfloat16
     # Chebyshev smoother options (TPU-native relax path)
     cheby_order: int = 2
     cheby_fraction: float = 0.3
