@@ -50,6 +50,18 @@ from tpusolve.amg.device_setup import (
     UNDECIDED, C_PT, F_PT)
 
 
+def _fetch(x) -> np.ndarray:
+    """Host fetch that works for multi-process (non-addressable) arrays:
+    allgather local shards first (the assembly of P/R/Ac halo plans is a
+    host step on every process, like the reference's rank-replicated
+    metadata)."""
+    if (isinstance(x, jax.Array) and jax.process_count() > 1
+            and not x.is_fully_addressable):
+        from jax.experimental import multihost_utils
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def _shard_map(fn, mesh, in_specs, out_specs):
     try:
         sm = jax.shard_map
@@ -414,8 +426,8 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
     stage1 = _stage1_sharded(mesh, axis, pgrid, comps, diag_slot, theta,
                              max_rounds)
     Sm, Cmask = stage1(L, rand)
-    counts = np.asarray(jnp.sum(Cmask.reshape(P_, -1), axis=1),
-                        np.int64)
+    counts = _fetch(jnp.sum(Cmask.reshape(P_, -1), axis=1)).astype(
+        np.int64)
     nc = int(counts.sum())
     t0 = _phase("strength+PMIS")
     if nc == 0 or nc >= n:
@@ -525,8 +537,8 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
         cnts = jax.vmap(count_chunk)(planes, cidx, valid, cnts)
         del planes
     Kc = min(len(dcs), max(8, _round_up(int(jnp.max(cnts)), 8)))
-    nnz_c = int(np.asarray(jnp.sum(cnts.reshape(P_, -1), axis=1),
-                           np.int64).sum())   # int64 on host: x64-agnostic
+    nnz_c = int(_fetch(jnp.sum(cnts.reshape(P_, -1), axis=1))
+                .astype(np.int64).sum())   # int64 on host: x64-agnostic
     del cnts
 
     # pass 2: pack each chunk's C rows into the per-part coarse ELL; cols
@@ -594,8 +606,8 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
         return Pv.reshape(D, -1), cols
 
     Pflat, Pcols = jax.vmap(p_planes)(Pv, cnum_h1)
-    Pv_host = np.asarray(Pflat)
-    Pc_host = np.asarray(Pcols)
+    Pv_host = _fetch(Pflat)
+    Pc_host = _fetch(Pcols)
     del Pflat, Pcols, Pv
 
     p_parts, r_parts, ac_parts = [], [], []
@@ -615,8 +627,8 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
                         gcol.astype(np.int64), vz[nzd, nzi]))
     del Pv_host, Pc_host
 
-    ell_v_h = np.asarray(ell_v)
-    ell_c_h = np.asarray(ell_c)
+    ell_v_h = _fetch(ell_v)
+    ell_c_h = _fetch(ell_c)
     for p in range(P_):
         mask = ell_v_h[p] != 0
         ri, ki = np.nonzero(mask)
@@ -661,7 +673,7 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
     if dmain is None:
         dmain_flat = np.zeros(nc, dt)
     else:
-        dm = np.asarray(dmain)
+        dm = _fetch(dmain)
         dmain_flat = np.concatenate(
             [dm[p][:counts[p]] for p in range(P_)])
     # Cmask flat (padded layout = exact: row_pad == box)
