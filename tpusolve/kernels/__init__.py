@@ -76,9 +76,21 @@ BDIA Pallas, rolled slot loop, R=2048                  179   GB/s
   ELL by a calibrated time model (bdia.model_time_s); scattered patterns
   (uniform jitter) correctly fall back to BELL.
 
+Round 3 added the **BDIA-XL panel-streaming variant** (bdia.py): x stays
+in HBM and each grid step DMAs its blocks' contiguous panel into a
+double-buffered VMEM scratch — lifting the whole-x-in-VMEM limit (~3M f32
+rows/shard) to arbitrary shard sizes.  Measured 632 GB/s stream rate (77%
+of SoL) at 10.5M rows on one v5e chip.  Round 3 also shipped the bf16
+smoother-stream candidate as ``smoother_dtype: bfloat16`` (XLA layouts
+only: promotion handles the mixed-dtype multiply, accumulation stays in
+the solve dtype), and moved the AMG *setup* itself onto the device —
+single-chip (amg/device_setup.py: offset-lattice scan contractions) and
+sharded (amg/device_setup_sharded.py: ppermute halo exchanges) — where
+every stage is the same shifted streaming pattern as the DIA SpMV.
+
 Remaining Pallas candidates for future rounds (kept here as the workspace):
 fused SpMV+dot for PCG (saves one vector read per iteration), halo exchange
 via ``make_async_remote_copy`` overlapping the interior DIA sweep, BDIA
 per-block overflow lists (boundary rows currently inflate the uniform D),
-and bf16 coefficient streams (2x bytes) for smoother/preconditioner SpMVs.
+and bf16 value streams for the BDIA/BELL Pallas kernels.
 """
