@@ -359,31 +359,6 @@ def _interp_classical_sharded(Av, Sm, Cmask_h, Ahatp, Cmp, comps,
 
 
 # ----------------------------------------------------------------------
-# packing helpers (per-part, vmapped)
-
-def _pack_rows(v_planes, c_planes, valid, K):
-    """(D, nc) value/col planes -> (nc, K) ELL via cursor scatter (rows
-    masked by ``valid`` stay empty)."""
-    D, ncap = v_planes.shape
-    rows = jnp.arange(ncap, dtype=jnp.int32)
-
-    def body(d, carry):
-        ov, oc, cur = carry
-        vv = jnp.where(valid, v_planes[d], 0.0)
-        nz = vv != 0
-        slot = jnp.where(nz, cur, K)
-        ov = ov.at[rows, slot].set(vv, mode="drop")
-        oc = oc.at[rows, slot].set(c_planes[d], mode="drop")
-        return ov, oc, cur + nz.astype(jnp.int32)
-
-    ov = jnp.zeros((ncap, K), v_planes.dtype)
-    oc = jnp.zeros((ncap, K), jnp.int32)
-    cur = jnp.zeros(ncap, jnp.int32)
-    ov, oc, cur = lax.fori_loop(0, D, body, (ov, oc, cur))
-    return ov, oc, cur
-
-
-# ----------------------------------------------------------------------
 # orchestrator
 
 def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
@@ -478,7 +453,7 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
     @jax.jit
     @jax.vmap
     def cnum_plane_fn(Cm, off):
-        c = jnp.cumsum(Cm.reshape(-1)).astype(jnp.int32) - 1 + off[0]
+        c = jnp.cumsum(Cm.reshape(-1).astype(jnp.int32)) - 1 + off[0]
         return c.reshape(dims)
 
     cnum_pl = cnum_plane_fn(Cmask, offs_d)   # (P, *dims) int32 global ids
@@ -540,6 +515,9 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
     nnz_c = int(_fetch(jnp.sum(cnts.reshape(P_, -1), axis=1))
                 .astype(np.int64).sum())   # int64 on host: x64-agnostic
     del cnts
+    if log is not None:
+        print(f"      rap[sharded]: K={Kc} nnz_c={nnz_c} ncap={ncap}",
+              flush=True)
 
     # pass 2: pack each chunk's C rows into the per-part coarse ELL; cols
     # come from the haloed cnum plane at the dc-shifted positions
