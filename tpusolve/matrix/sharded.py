@@ -621,18 +621,30 @@ class ShardedMatrix:
         prefer keeping the host CSR from assembly time (``A_host`` plumbing).
         """
         import scipy.sparse as sp
+        from tpusolve.mesh import fetch_host
         ro = np.asarray(self.row_offsets)
         co = np.asarray(self.col_offsets)
-        ovals = np.asarray(self.offd_vals)
-        ocols = np.asarray(self.offd_cols)
-        send_idx = np.asarray(self.send_idx)
-        ghost_slot = np.asarray(self.ghost_slot)
+        ovals = fetch_host(self.offd_vals)
+        ocols = fetch_host(self.offd_cols)
+        send_idx = fetch_host(self.send_idx)
+        ghost_slot = fetch_host(self.ghost_slot)
+        # one fetch per array, NOT per part (a device->host transfer — or a
+        # multi-process allgather — per loop iteration)
+        dia_h = fetch_host(self.dia_vals) if self.uses_dia else None
+        bellv_h = fetch_host(self.bell_vals) if self.uses_bell else None
+        belli_h = fetch_host(self.bell_ids) if self.uses_bell else None
+        bdiav_h = fetch_host(self.bdia_vals) if self.uses_bdia else None
+        bdias_h = fetch_host(self.bdia_starts) if self.uses_bdia else None
+        ell_h = ellc_h = None
+        if not (self.uses_dia or self.uses_bell or self.uses_bdia):
+            ell_h = fetch_host(self.diag_vals)
+            ellc_h = fetch_host(self.diag_cols)
         S = send_idx.shape[-1]
         rows, cols, vals = [], [], []
         for p in range(self.nparts):
             nr = int(ro[p + 1] - ro[p])
             if self.uses_dia:
-                dv = np.asarray(self.dia_vals)[p]
+                dv = dia_h[p]
                 dv = dv.reshape(dv.shape[0], -1)        # (D, R)
                 offs = np.asarray(self.dia_offsets)
                 k_idx, r_idx = np.nonzero(dv[:, :nr] != 0)
@@ -642,8 +654,8 @@ class ShardedMatrix:
                 vals.append(dv[:, :nr][k_idx, r_idx])
             elif self.uses_bell:
                 from tpusolve.kernels import bell as bell_mod
-                bv = np.asarray(self.bell_vals)[p]       # (G, K, 8, 128)
-                bi = np.asarray(self.bell_ids)[p]        # (G, K)
+                bv = bellv_h[p]       # (G, K, 8, 128)
+                bi = belli_h[p]        # (G, K)
                 g_i, k_i, r_i, c_i = np.nonzero(bv)
                 lr = g_i * bell_mod.TM + r_i
                 lc = bi[g_i, k_i].astype(np.int64) * bell_mod.TN + c_i
@@ -652,8 +664,8 @@ class ShardedMatrix:
                 cols.append(co[p] + lc[keep])
                 vals.append(bv[g_i, k_i, r_i, c_i][keep])
             elif self.uses_bdia:
-                bv = np.asarray(self.bdia_vals)[p]       # (B, D, R)
-                bs = np.asarray(self.bdia_starts)[p]     # (B, D)
+                bv = bdiav_h[p]       # (B, D, R)
+                bs = bdias_h[p]     # (B, D)
                 R = self.bdia_block
                 b_i, d_i, r_i = np.nonzero(bv)
                 lr = b_i * R + r_i
@@ -663,8 +675,8 @@ class ShardedMatrix:
                 cols.append(co[p] + lc[keep])
                 vals.append(bv[b_i, d_i, r_i][keep])
             else:
-                ev = np.asarray(self.diag_vals)[p]
-                ec = np.asarray(self.diag_cols)[p]
+                ev = ell_h[p]
+                ec = ellc_h[p]
                 r_idx, k_idx = np.nonzero(ev[:nr] != 0)
                 rows.append(ro[p] + r_idx)
                 cols.append(co[p] + ec[:nr][r_idx, k_idx])

@@ -44,6 +44,18 @@ def owner_of(indices: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return np.searchsorted(offsets, np.asarray(indices), side="right") - 1
 
 
+def fetch_host(x) -> np.ndarray:
+    """Host fetch that also works for multi-process (non-addressable)
+    arrays: allgather the local shards first.  The host-side consumers
+    (setup plans, writers, checks) are rank-replicated, like the
+    reference's (src/HypreSystem.cpp:771-845)."""
+    if (isinstance(x, jax.Array) and jax.process_count() > 1
+            and not x.is_fully_addressable):
+        from jax.experimental import multihost_utils
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def put_sharded(a, mesh: Mesh, spec) -> jax.Array:
     """Multi-process-safe ``device_put(a, NamedSharding(mesh, spec))``.
 
