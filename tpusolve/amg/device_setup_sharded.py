@@ -50,16 +50,7 @@ from tpusolve.amg.device_setup import (
     UNDECIDED, C_PT, F_PT)
 
 
-def _fetch(x) -> np.ndarray:
-    """Host fetch that works for multi-process (non-addressable) arrays:
-    allgather local shards first (the assembly of P/R/Ac halo plans is a
-    host step on every process, like the reference's rank-replicated
-    metadata)."""
-    if (isinstance(x, jax.Array) and jax.process_count() > 1
-            and not x.is_fully_addressable):
-        from jax.experimental import multihost_utils
-        x = multihost_utils.process_allgather(x, tiled=True)
-    return np.asarray(x)
+from tpusolve.mesh import fetch_host as _fetch
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):

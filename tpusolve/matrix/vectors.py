@@ -60,11 +60,8 @@ def from_device_vector(x: jax.Array, offsets, pad: int) -> np.ndarray:
     shards are allgathered first (every host gets the full global vector —
     the reference's checks/writers are likewise rank-replicated gathers,
     src/HypreSystem.cpp:771-845)."""
-    if (isinstance(x, jax.Array) and jax.process_count() > 1
-            and not x.is_fully_addressable):
-        from jax.experimental import multihost_utils
-        x = multihost_utils.process_allgather(x, tiled=True)
-    return unpad_vector(np.asarray(jax.device_get(x)), offsets, pad)
+    from tpusolve.mesh import fetch_host
+    return unpad_vector(fetch_host(x), offsets, pad)
 
 
 def zeros_like_rows(A, dtype=None, axis: str | None = None) -> jax.Array:
