@@ -226,3 +226,63 @@ class TestHaloOverlapToggle:
         finally:
             spmv_mod.HALO_OVERLAP = old
         np.testing.assert_allclose(y_on, y_off, rtol=1e-14)
+
+
+class TestFromDeviceEllParts:
+    """Device-first ELL constructor: diag/offd split on device, host sees
+    only the seam entries (from_device_ell_parts)."""
+
+    def _build(self, rng, mesh, n, per_row=6, ncols=None):
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        from tpusolve.mesh import put_sharded, row_decomposition
+        ncols = ncols if ncols is not None else n
+        P_ = mesh.devices.size
+        ro = row_decomposition(n, P_)
+        co = (ro if ncols == n else row_decomposition(ncols, P_))
+        row_pad = int(np.diff(ro).max())
+        K = per_row
+        ell_v = np.zeros((P_, row_pad, K))
+        ell_c = np.zeros((P_, row_pad, K), np.int32)
+        rows_g, cols_g, vals_g = [], [], []
+        for p in range(P_):
+            nr = ro[p + 1] - ro[p]
+            for r in range(nr):
+                cols = np.unique(rng.integers(0, ncols, per_row))
+                vals = rng.standard_normal(cols.size)
+                ell_v[p, r, :cols.size] = vals
+                ell_c[p, r, :cols.size] = cols
+                rows_g.extend([ro[p] + r] * cols.size)
+                cols_g.extend(cols)
+                vals_g.extend(vals)
+        A = ShardedMatrix.from_device_ell_parts(
+            mesh, (n, ncols),
+            put_sharded(ell_v, mesh, P("rows")),
+            put_sharded(ell_c, mesh, P("rows")),
+            row_offsets=ro, col_offsets=co)
+        S = sp.coo_matrix((vals_g, (rows_g, cols_g)),
+                          shape=(n, ncols)).tocsr()
+        return A, S
+
+    def test_square_matches_scipy(self, rng, mesh8):
+        n = 4003   # uneven split exercises padded rows
+        A, S = self._build(rng, mesh8, n)
+        assert A.has_offd
+        x = rng.standard_normal(n)
+        xd = to_device_vector(mesh8, x, np.asarray(A.col_offsets),
+                              A.col_pad, dtype=np.float64)
+        y = from_device_vector(np.asarray(spmv(A, xd)),
+                               np.asarray(A.row_offsets), A.row_pad)
+        np.testing.assert_allclose(y, S @ x, rtol=1e-12, atol=1e-12)
+        d = abs(A.to_scipy() - S)
+        assert (d.max() if d.nnz else 0.0) == 0.0
+
+    def test_rectangular_matches_scipy(self, rng, mesh8):
+        n, nc = 3001, 997
+        A, S = self._build(rng, mesh8, n, ncols=nc)
+        x = rng.standard_normal(nc)
+        xd = to_device_vector(mesh8, x, np.asarray(A.col_offsets),
+                              A.col_pad, dtype=np.float64)
+        y = from_device_vector(np.asarray(spmv(A, xd)),
+                               np.asarray(A.row_offsets), A.row_pad)
+        np.testing.assert_allclose(y, S @ x, rtol=1e-12, atol=1e-12)

@@ -560,91 +560,124 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
     del Avp, cur
     t0 = _phase("galerkin RAP")
 
-    # --- P / R triples (host assembly via from_local_parts: the halo
-    # plan/diag-offd split for the rectangular transfers and the coarse
-    # operator is the one host-side step; per-part triples only) ---
+    # --- device-first P/R/Ac assembly (from_device_ell_parts): the bulk
+    # stays on device as per-part padded ELL with global columns; only the
+    # seam entries (halo-plan construction) and the coarse CSR (consumed
+    # by the deeper HOST levels anyway) are fetched ---
     row_off_f = np.asarray(A.row_offsets, np.int64)
     row_off_c = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
     cnum_h1 = exch1(cnum_pl)
 
+    def pack_part(vplanes, cplanes, valid_r, K):
+        ncap_r = vplanes.shape[1]
+        rows = jnp.arange(ncap_r, dtype=jnp.int32)
+
+        def body(d, carry):
+            ov, oc, cur = carry
+            vv = jnp.where(valid_r, vplanes[d], jnp.zeros((), dt))
+            nz = vv != 0
+            slot = jnp.where(nz, cur, K)
+            ov = ov.at[rows, slot].set(vv, mode="drop")
+            oc = oc.at[rows, slot].set(cplanes[d], mode="drop")
+            return ov, oc, cur + nz.astype(jnp.int32)
+
+        ov = jnp.zeros((ncap_r, K), dt)
+        oc = jnp.zeros((ncap_r, K), jnp.int32)
+        cur = jnp.zeros(ncap_r, jnp.int32)
+        ov, oc, _ = lax.fori_loop(0, D, body, (ov, oc, cur))
+        return ov, oc
+
+    # P: values are Pvp's interior, cols the halo'd coarse numbering at
+    # each offset
+    z3 = (0, 0, 0)
+    widths_p = jax.jit(jax.vmap(lambda Pp: jnp.max(jnp.sum(
+        (_shift_h(Pp, z3, m) != 0).reshape(D, -1).astype(jnp.int32),
+        axis=0))))(Pvp)
+    Kp = max(1, int(jnp.max(widths_p)))
+    nnz_p = int(_fetch(jax.jit(jax.vmap(lambda Pp: jnp.sum(
+        (_shift_h(Pp, z3, m) != 0).reshape(-1).astype(jnp.int32))))(
+            Pvp)).astype(np.int64).sum())
+
     @jax.jit
-    def p_planes(Pv, cnum_h1_p):
-        cols = jnp.stack([_shift_h(cnum_h1_p, comps[d], 1).reshape(-1)
-                          for d in range(D)])
-        return Pv.reshape(D, -1), cols
+    @jax.vmap
+    def pack_P(Pvp_p, cnum_h1_p):
+        v = _shift_h(Pvp_p, z3, m).reshape(D, -1)
+        c = jnp.stack([_shift_h(cnum_h1_p, comps[d], 1).reshape(-1)
+                       for d in range(D)])
+        return pack_part(v, c, jnp.ones(v.shape[1], bool), Kp)
 
-    Pflat, Pcols = jax.vmap(p_planes)(Pv, cnum_h1)
-    Pv_host = _fetch(Pflat)
-    Pc_host = _fetch(Pcols)
-    del Pflat, Pcols, Pv
+    Pv_ell, Pc_ell = pack_P(Pvp, cnum_h1)
+    P_sh = ShardedMatrix.from_device_ell_parts(
+        mesh, (n, nc), Pv_ell, Pc_ell,
+        row_offsets=row_off_f, col_offsets=row_off_c, axis=axis, nnz=nnz_p)
+    del Pv_ell, Pc_ell
 
-    p_parts, r_parts, ac_parts = [], [], []
-    for p in range(P_):
-        vz = Pv_host[p]
-        nzd, nzi = np.nonzero(vz)
-        p_parts.append((nzi.astype(np.int64),
-                        Pc_host[p][nzd, nzi].astype(np.int64),
-                        vz[nzd, nzi]))
-        # R = P^T: coarse row = cnum at target, col = fine global source
-        gcol = p * box + nzi
-        crow = Pc_host[p][nzd, nzi].astype(np.int64) - row_off_c[p]
-        # rows must be local to part p's coarse range: P's columns point
-        # into neighbor parts for seam rows, so R seam entries belong to
-        # the neighbor part — bucket them there
-        r_parts.append((Pc_host[p][nzd, nzi].astype(np.int64),
-                        gcol.astype(np.int64), vz[nzd, nzi]))
-    del Pv_host, Pc_host
+    # R = P^T: coarse rows at the C points; fine global columns come from
+    # the halo'd fine-identity plane shifted by -comps (exact across
+    # seams, like the coarse numbering)
+    fid_base = put_sharded(row_off_f[:-1].reshape(P_, 1).astype(np.int32),
+                           mesh, P(axis))
+    fid = jax.jit(jax.vmap(
+        lambda off: (off[0] + jnp.arange(box, dtype=jnp.int32)
+                     ).reshape(dims)))(fid_base)
+    fid_h = exch1(fid)
 
-    ell_v_h = _fetch(ell_v)
-    ell_c_h = _fetch(ell_c)
-    for p in range(P_):
-        mask = ell_v_h[p] != 0
-        ri, ki = np.nonzero(mask)
-        ac_parts.append((ri.astype(np.int64),
-                         ell_c_h[p][ri, ki].astype(np.int64),
-                         ell_v_h[p][ri, ki]))
-    del ell_v, ell_c
+    # R rows are WIDER than P rows (a C point is interpolated from by many
+    # F rows): size K from the actual transposed widths
+    widths_r = jax.jit(jax.vmap(lambda Pp, ci: jnp.max(jnp.sum(
+        jnp.stack([(_shift_h(Pp[d], _comps_neg(comps[d]), m)
+                    .reshape(-1)[ci] != 0).astype(jnp.int32)
+                   for d in range(D)]), axis=0))))(Pvp, cidx)
+    Kr = max(1, int(jnp.max(widths_r)))
 
-    # R rows were produced under the SOURCE part; re-bucket by owning
-    # coarse part
-    all_r = np.concatenate([np.stack([r, c, v])
-                            for r, c, v in r_parts], axis=1)
-    owner = np.searchsorted(row_off_c, all_r[0], side="right") - 1
-    r_parts2 = []
-    for p in range(P_):
-        sel = owner == p
-        r_parts2.append(((all_r[0][sel] - row_off_c[p]).astype(np.int64),
-                         all_r[1][sel].astype(np.int64),
-                         all_r[2][sel]))
-    del all_r
+    @jax.jit
+    @jax.vmap
+    def pack_R(Pvp_p, fid_h_p, cidx_p, valid_p):
+        rv = jnp.stack([
+            _shift_h(Pvp_p[d], _comps_neg(comps[d]), m).reshape(-1)[cidx_p]
+            for d in range(D)])
+        rc = jnp.stack([
+            _shift_h(fid_h_p, _comps_neg(comps[d]), 1).reshape(-1)[cidx_p]
+            for d in range(D)])
+        return pack_part(rv, rc, valid_p, Kr)
 
-    Ac_sh = ShardedMatrix.from_local_parts(
-        mesh, (nc, nc), ac_parts, dtype=dt, axis=axis,
-        row_offsets=row_off_c, col_offsets=row_off_c)
-    P_sh = ShardedMatrix.from_local_parts(
-        mesh, (n, nc), p_parts, dtype=dt, axis=axis,
-        row_offsets=row_off_f, col_offsets=row_off_c)
-    R_sh = ShardedMatrix.from_local_parts(
-        mesh, (nc, n), r_parts2, dtype=dt, axis=axis,
-        row_offsets=row_off_c, col_offsets=row_off_f)
+    Rv_ell, Rc_ell = pack_R(Pvp, fid_h, cidx, valid)
+    R_sh = ShardedMatrix.from_device_ell_parts(
+        mesh, (nc, n), Rv_ell, Rc_ell,
+        row_offsets=row_off_c, col_offsets=row_off_f, axis=axis,
+        row_counts=counts, nnz=nnz_p)
+    del Rv_ell, Rc_ell, Pvp, Pv
+
+    # Ac: the RAP pass-2 ELL, diagonal from the zero-offset plane
+    if dmain is None:
+        dmain_pad = jnp.ones((P_, ncap), dt)
+    else:
+        dmain_pad = jnp.where(valid & (dmain != 0), dmain,
+                              jnp.ones((), dt))
+    Ac_sh = ShardedMatrix.from_device_ell_parts(
+        mesh, (nc, nc), ell_v, ell_c,
+        row_offsets=row_off_c, col_offsets=row_off_c, axis=axis,
+        row_counts=counts, diag_main=dmain_pad, nnz=nnz_c)
     t0 = _phase("P/R/Ac assembly")
 
-    # --- compact coarse CSR (feeds the remaining host levels) ---
-    rows_h = np.concatenate([row_off_c[p] + ac_parts[p][0]
-                             for p in range(P_)])
-    cols_h = np.concatenate([ac_parts[p][1] for p in range(P_)])
-    vals_h = np.concatenate([ac_parts[p][2] for p in range(P_)])
+    # --- compact coarse CSR (feeds the remaining host levels — the one
+    # unavoidable coarse-scale fetch) ---
+    ell_v_h = _fetch(ell_v)
+    ell_c_h = _fetch(ell_c)
+    rows_h, cols_h, vals_h = [], [], []
+    for q in range(P_):
+        mask = ell_v_h[q] != 0
+        ri, ki = np.nonzero(mask)
+        rows_h.append(row_off_c[q] + ri.astype(np.int64))
+        cols_h.append(ell_c_h[q][ri, ki].astype(np.int64))
+        vals_h.append(ell_v_h[q][ri, ki].astype(np.float64))
+    del ell_v, ell_c, ell_v_h, ell_c_h
     Ah_c = sp.csr_matrix(
-        (vals_h.astype(np.float64), (rows_h, cols_h)), shape=(nc, nc))
+        (np.concatenate(vals_h), (np.concatenate(rows_h),
+                                  np.concatenate(cols_h))), shape=(nc, nc))
     t0 = _phase("coarse CSR fetch")
 
-    if dmain is None:
-        dmain_flat = np.zeros(nc, dt)
-    else:
-        dm = _fetch(dmain)
-        dmain_flat = np.concatenate(
-            [dm[p][:counts[p]] for p in range(P_)])
     # Cmask flat (padded layout = exact: row_pad == box)
     return dict(Cmask=Cmask.reshape(-1), nc=nc, P=P_sh, R=R_sh,
                 Ac=Ac_sh, Ah_c=Ah_c, dinv=dinv, dinv_l1=dinv_l1,

@@ -614,6 +614,109 @@ class ShardedMatrix:
             has_offd=offd_nnz > 0, mesh=mesh, axis=axis, nnz=nnz)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def from_device_ell_parts(mesh, shape, ell_v, ell_c, *, row_offsets,
+                              col_offsets, axis: str = ROWS_AXIS,
+                              row_counts=None, diag_main=None, nnz=None):
+        """Device-resident per-part padded-ELL with GLOBAL columns ->
+        ShardedMatrix, without shipping the bulk to the host.
+
+        ``ell_v``/``ell_c``: (P, row_pad, K) sharded value/column arrays
+        (columns arbitrary at zero-valued slots; rows beyond each part's
+        count all-zero).  The diag/offd split runs ON DEVICE; only the
+        off-owner entries (seam surface, O(boundary)) are fetched to build
+        the halo plan — the device-first analog of the reference's on-GPU
+        assembly feeding hypre's comm-pkg setup
+        (src/HypreSystem.cpp:1540-1597 + hypre internals).
+        ``diag_main``: (P, row_pad) main-diagonal (device or host); ones
+        where absent (rectangular operators).
+        """
+        import jax
+        import jax.numpy as jnp
+        from tpusolve.mesh import put_sharded, fetch_host
+        nrows, ncols = int(shape[0]), int(shape[1])
+        P_ = mesh.devices.size
+        ro = np.asarray(row_offsets, np.int64)
+        co = np.asarray(col_offsets, np.int64)
+        if row_counts is None:
+            row_counts = np.diff(ro)
+        row_counts = np.asarray(row_counts, np.int64)
+        _, row_pad, K = ell_v.shape
+        col_pad = max(1, int(np.diff(co).max()))
+        dtype = np.dtype(ell_v.dtype)
+
+        lo = put_sharded(co[:-1].reshape(P_, 1, 1).astype(np.int64),
+                         mesh, P(axis))
+        hi = put_sharded(co[1:].reshape(P_, 1, 1).astype(np.int64),
+                         mesh, P(axis))
+
+        @jax.jit
+        def split(v, c, lo, hi):
+            c = c.astype(jnp.int64) if c.dtype != jnp.int64 else c
+            inr = (c >= lo) & (c < hi) & (v != 0)
+            dv = jnp.where(inr, v, jnp.zeros((), v.dtype))
+            dc = jnp.where(inr, c - lo, 0).astype(jnp.int32)
+            om = (v != 0) & ~inr
+            return dv, dc, om
+
+        dv, dc, om = split(ell_v, ell_c, lo, hi)
+        ocnt = fetch_host(jnp.sum(om.reshape(P_, -1), axis=1)).astype(
+            np.int64)
+        if nnz is None:
+            nnz = int(fetch_host(
+                jnp.sum((ell_v != 0).reshape(P_, -1), axis=1)).sum())
+
+        if ocnt.sum() == 0:
+            z = np.zeros((P_, row_pad, 1), dtype)
+            ovals = put_sharded(z, mesh, P(axis))
+            ocols = put_sharded(z.astype(np.int32), mesh, P(axis))
+            send_idx = np.zeros((P_, P_, 1), np.int32)
+            ghost_slot = np.zeros((P_, 1), np.int32)
+        else:
+            cap = max(1, int(ocnt.max()))
+
+            @jax.jit
+            @jax.vmap
+            def extract(v, c, m):
+                pos = jnp.nonzero(m.reshape(-1), size=cap,
+                                  fill_value=-1)[0]
+                ok = pos >= 0
+                p = jnp.where(ok, pos, 0)
+                return (p.astype(jnp.int32), ok,
+                        v.reshape(-1)[p], c.reshape(-1)[p])
+
+            pos_h, ok_h, v_h, c_h = (fetch_host(x) for x in
+                                     extract(ell_v, ell_c, om))
+            offd_parts = []
+            for p in range(P_):
+                k = ok_h[p]
+                offd_parts.append(((pos_h[p][k] // K).astype(np.int64),
+                                   c_h[p][k].astype(np.int64),
+                                   v_h[p][k].astype(dtype)))
+            (ovals, ocols, send_idx, ghost_slot, _) = _build_offd_and_halo(
+                mesh, axis, P_, row_pad, row_counts, co, offd_parts,
+                dtype, 1)
+
+        if diag_main is None:
+            diag_main = np.ones((P_, row_pad), dtype)
+        put = lambda a: (a if isinstance(a, jax.Array)
+                         else put_sharded(np.asarray(a), mesh, P(axis)))
+        return ShardedMatrix(
+            diag_vals=dv, diag_cols=dc,
+            dia_vals=None, bell_vals=None, bell_ids=None,
+            bdia_vals=None, bdia_starts=None,
+            offd_vals=put(ovals), offd_cols=put(ocols),
+            send_idx=put(send_idx), ghost_slot=put(ghost_slot),
+            diag=put(diag_main),
+            shape=(nrows, ncols),
+            row_offsets=tuple(int(x) for x in ro),
+            col_offsets=tuple(int(x) for x in co),
+            row_pad=row_pad, col_pad=col_pad,
+            dia_offsets=None, dia_shape=None, bell_nwin=None,
+            bdia_block=None, bdia_xpad=None, bdia_xlen=None,
+            has_offd=bool(ocnt.sum() > 0), mesh=mesh, axis=axis,
+            nnz=int(nnz))
+
     def to_scipy(self):
         """Reconstruct the global matrix as scipy CSR (testing/host use).
 
