@@ -1,6 +1,7 @@
 import io
 import numpy as np
 import pytest
+import scipy.sparse as sp
 
 from tpusolve.native import available, get_lib
 from tpusolve.formats import mmio, ij
@@ -152,6 +153,54 @@ class TestSetupKernels:
         d = abs(Pn - Pf)
         assert Pn.nnz == Pf.nnz
         assert (d.max() if d.nnz else 0.0) < 1e-13
+
+    def test_threaded_matches_serial(self, rng, monkeypatch):
+        """Every row-parallel kernel produces bit-identical output with
+        TPUSOLVE_NATIVE_THREADS=1 vs =4 (dynamic-chunk scheduling must not
+        change results; per-thread stamped scratch must not leak across
+        rows)."""
+        from tpusolve.native import spk
+        if not spk.available():
+            pytest.skip("native lib unavailable")
+        A = self._fixture(rng, n=6000, per_row=8)
+        S, split, is_C, cmap = self._split(A)
+        Sc = S.tocsr()
+        B = (A @ A).tocsr()
+        B.sort_indices()
+        dia_t = rng.standard_normal((5000, 9)).astype(np.float32)
+        dia_t[rng.random(dia_t.shape) < 0.4] = 0.0
+        dia_t[:4] = 0.0   # keep r+off in range at the boundaries
+        dia_t[-4:] = 0.0
+        offs = np.arange(-4, 5, dtype=np.int64)
+
+        def run_all():
+            out = {}
+            out["strength"] = spk.strength(A, 0.3)
+            out["mask"] = spk.pattern_mask(A, Sc)
+            out["spgemm"] = spk.spgemm(A, A)
+            out["abt"] = spk.masked_abt(A, B, Sc)
+            out["ab"] = spk.masked_ab(A, B, Sc)
+            out["sat"] = spk.sampled_transpose(B, Sc)
+            out["ci"] = spk.classical_interp(A, Sc, is_C, cmap)
+            out["ei"] = spk.exti_interp(A, Sc, is_C, cmap)
+            out["dia"] = spk.dia_to_csr(dia_t, offs)
+            return out
+
+        monkeypatch.setenv("TPUSOLVE_NATIVE_THREADS", "1")
+        ser = run_all()
+        monkeypatch.setenv("TPUSOLVE_NATIVE_THREADS", "4")
+        par = run_all()
+        for k in ser:
+            a, b = ser[k], par[k]
+            assert a is not None and b is not None, k
+            if sp.issparse(a):
+                np.testing.assert_array_equal(a.indptr, b.indptr, err_msg=k)
+                np.testing.assert_array_equal(a.indices, b.indices,
+                                              err_msg=k)
+                np.testing.assert_array_equal(a.data, b.data, err_msg=k)
+            else:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                              err_msg=k)
 
     def test_pmis_matches_numpy(self, rng):
         from tpusolve.native import spk
