@@ -84,6 +84,71 @@ class TestBdiaKernel:
         with pytest.raises(ValueError):
             bdia.compact(r, c, v, n, n, 64, 1)
 
+    def test_fill_profile_and_overflow_roundtrip(self, rng):
+        """plan_fill_profile predicts exactly how many entries a D cap
+        spills, and compact(overflow=True) reproduces the full matrix as
+        (layout entries) + (overflow entries)."""
+        n = 1024
+        r, c, v = _banded(rng, n, bw=35)
+        R = 128
+        prof = bdia.plan_fill_profile(r, c, n, n, R)
+        assert prof.sum() == r.size
+        Dfull = len(prof)
+        D = max(1, Dfull // 2)
+        expected_spill = int(prof[D:].sum())
+        starts, flat_idx, vo, o_r, o_c, o_v = bdia.compact(
+            r, c, v, n, n, R, D, dtype=np.float64, overflow=True)
+        assert o_r.size == expected_spill
+        assert flat_idx.size + o_r.size == r.size
+        # reconstruct: layout entries + overflow entries == original
+        B = (n + R - 1) // R
+        vals = np.zeros(B * D * R, np.float64)
+        vals[flat_idx] = vo
+        vals = vals.reshape(B, D, R)
+        b_i, d_i, r_i = np.nonzero(vals)
+        lr = b_i * R + r_i
+        lc = starts[b_i, d_i] + r_i
+        A_lay = sp.coo_matrix((vals[b_i, d_i, r_i], (lr, lc)), shape=(n, n))
+        A_ovf = sp.coo_matrix((o_v, (o_r, o_c)), shape=(n, n))
+        A_ref = sp.coo_matrix((v, (r, c)), shape=(n, n))
+        diff = abs((A_lay + A_ovf) - A_ref)
+        assert (diff.max() if diff.nnz else 0.0) < 1e-14
+
+    def test_overflow_spmv_matches_scipy(self, rng, mesh8):
+        """A clipped boundary cluster (the fan-out case _clustered avoids)
+        selects BDIA with an overflow list and still matches scipy."""
+        n = 160_000
+        rr_ = np.arange(n, dtype=np.int64)
+        rows, cols = [], []
+        for base in (-600, 0, 600):
+            for dd in (-1, 0, 1):
+                # CLIP at the boundary: the first/last blocks fan out to
+                # ~|base| distinct offsets — the overflow-list scenario
+                cc = np.clip(rr_ + base + dd, 0, n - 1)
+                rows.append(rr_)
+                cols.append(cc)
+        rows = np.concatenate(rows + [rr_])
+        cols = np.concatenate(cols + [rr_])
+        vals = rng.standard_normal(rows.size)
+        key = rows * n + cols
+        _, idx = np.unique(key, return_index=True)
+        rows, cols, vals = rows[idx], cols[idx], vals[idx]
+        A = ShardedMatrix.from_coo(mesh8, (n, n), rows, cols, vals,
+                                   dtype=np.float64, allow_dia=False,
+                                   allow_bell=False)
+        assert A.uses_bdia
+        assert A.bdia_ovf_vals is not None, \
+            "clipped boundary blocks should spill to the overflow list"
+        S = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+        x = rng.standard_normal(n)
+        xd = to_device_vector(mesh8, x, np.asarray(A.col_offsets),
+                              A.col_pad, dtype=np.float64)
+        y = from_device_vector(np.asarray(spmv(A, xd)),
+                               np.asarray(A.row_offsets), A.row_pad)
+        np.testing.assert_allclose(y, S @ x, rtol=1e-10, atol=1e-8)
+        back = A.to_scipy()
+        assert abs(back - S).max() < 1e-12
+
 
 def _clustered(rng, n, centers=(-700, 0, 700), spread=1, drift_amp=40):
     """Mesh-like banded matrix: a few offset clusters whose centers drift

@@ -90,13 +90,60 @@ def plan_d(lr, lc, row_pad: int, col_pad: int, R: int) -> int:
     return max(1, int(np.bincount(keys // W, minlength=B).max()))
 
 
+def plan_fill_profile(lr, lc, row_pad: int, col_pad: int,
+                      R: int) -> np.ndarray:
+    """Per-rank slot-fill profile at block size R: ``out[r]`` = total
+    entries landing in each block's r-th *most-populated* offset slot,
+    summed over the shard's blocks.  Capping the layout at D slots per
+    block therefore overflows exactly ``out[D:].sum()`` entries — the
+    trade-off the assembly-time selection optimizes (a single clipped
+    boundary block would otherwise inflate the uniform D for the whole
+    shard and push selection to BELL)."""
+    if len(lr) == 0:
+        return np.zeros(0, np.int64)
+    lr = np.asarray(lr, np.int64)
+    d = np.asarray(lc, np.int64) - lr
+    b = lr // R
+    W = row_pad + col_pad + 1
+    uniq, counts = np.unique(b * W + (d + row_pad), return_counts=True)
+    key_b = uniq // W
+    # rank slots within each block by descending count (stable: offset
+    # order breaks ties) — same ordering compact() assigns slots in
+    order_u = np.lexsort((-counts, key_b))
+    B = (row_pad + R - 1) // R
+    blk_starts = np.searchsorted(key_b, np.arange(B + 1))
+    rank_sorted = np.arange(uniq.size) - blk_starts[key_b[order_u]]
+    maxrank = int(rank_sorted.max()) + 1
+    return np.bincount(rank_sorted, weights=counts[order_u],
+                       minlength=maxrank).astype(np.int64)
+
+
+# per-element cost of the overflow gather+scatter-add (XLA gather measured
+# ~9 ns/elem on v5e; scatter-add comparable — conservative combined figure)
+OVF_NS_PER_ELEM = 25.0
+
+
+def model_ovf_time_s(k: int) -> float:
+    """Predicted seconds for a k-entry overflow gather/scatter pass."""
+    from tpusolve import runtime
+    return k * OVF_NS_PER_ELEM * 1e-9 * runtime.overhead_scale()
+
+
 def compact(lr, lc, v, row_pad: int, col_pad: int, R: int, dmax: int,
-            dtype=np.float32):
+            dtype=np.float32, overflow: bool = False):
     """Build one shard's BDIA staging.
 
     Returns (starts (B, dmax) int32 *relative to unpadded x* (may be
     negative), flat_idx, vals_ordered) — flat indices into the (B, dmax, R)
-    value array, materialized on device (matrix/build.py)."""
+    value array, materialized on device (matrix/build.py).
+
+    Slots are assigned within each block by DESCENDING fill, so when a
+    block has more distinct offsets than ``dmax`` the entries that don't
+    fit are the fewest possible.  With ``overflow=False`` (the strict
+    default) that condition raises; with ``overflow=True`` the spilled
+    entries are returned as three extra arrays (local rows, local cols,
+    vals) for the per-block overflow list (applied in the SpMV as one
+    small gather + scatter-add)."""
     B = (row_pad + R - 1) // R
     dmax = max(dmax, 1)
     starts = np.full((B, dmax), _SENTINEL, np.int64)
@@ -104,8 +151,13 @@ def compact(lr, lc, v, row_pad: int, col_pad: int, R: int, dmax: int,
     if lr.size == 0:
         starts[:] = np.clip(np.arange(B, dtype=np.int64) * R, 0,
                             max(0, col_pad - R))[:, None]
-        return starts, np.zeros(0, np.int64), np.zeros(0, dtype)
-    d = np.asarray(lc, np.int64) - lr
+        empty = (starts, np.zeros(0, np.int64), np.zeros(0, dtype))
+        if overflow:
+            return empty + (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                            np.zeros(0, dtype))
+        return empty
+    lc = np.asarray(lc, np.int64)
+    d = lc - lr
     v = np.asarray(v, dtype)
     b = lr // R
     W = row_pad + col_pad + 1
@@ -117,15 +169,25 @@ def compact(lr, lc, v, row_pad: int, col_pad: int, R: int, dmax: int,
     np.not_equal(key_s[1:], key_s[:-1], out=flag[1:])
     uniq = key_s[flag]
     slot_of_key = np.cumsum(flag) - 1
+    counts_u = np.diff(np.append(np.flatnonzero(flag), key_s.size))
     key_b = uniq // W
     blk_starts = np.searchsorted(key_b, np.arange(B + 1))
-    slot_in_blk = np.arange(uniq.size) - blk_starts[key_b]
-    if uniq.size and slot_in_blk.max() >= dmax:
+    # rank slots within each block by descending fill (stable tie-break on
+    # offset order) — a dmax cap then overflows the emptiest slots
+    order_u = np.lexsort((-counts_u, key_b))
+    rank_sorted = np.arange(uniq.size) - blk_starts[key_b[order_u]]
+    rank_u = np.empty(uniq.size, np.int64)
+    rank_u[order_u] = rank_sorted
+    over_u = rank_u >= dmax
+    if over_u.any() and not overflow:
         raise ValueError("dmax too small for this shard")
-    starts[key_b, slot_in_blk] = key_b * R + (uniq % W) - row_pad
-    slot = slot_in_blk[slot_of_key]
-    lro, vo = lr[order], v[order]
-    flat_idx = (lro // R * dmax + slot) * R + lro % R
+    keep_u = ~over_u
+    starts[key_b[keep_u], rank_u[keep_u]] = \
+        key_b[keep_u] * R + (uniq[keep_u] % W) - row_pad
+    slot = rank_u[slot_of_key]
+    lro, lco, vo = lr[order], lc[order], v[order]
+    keep = slot < dmax
+    flat_idx = (lro[keep] // R * dmax + slot[keep]) * R + lro[keep] % R
     # unused slots: park them on a window near the block's own diagonal
     # (vals are zero there, so any in-range window works) — parking at a
     # *nearby* window keeps each block's window span tight, which the
@@ -134,6 +196,10 @@ def compact(lr, lc, v, row_pad: int, col_pad: int, R: int, dmax: int,
                    max(0, col_pad - R))
     parked = starts == _SENTINEL
     starts = np.where(parked, park[:, None], starts)
+    if overflow:
+        spill = ~keep
+        return (starts, flat_idx, vo[keep],
+                lro[spill], lco[spill], vo[spill])
     return starts, flat_idx, vo
 
 
@@ -337,7 +403,7 @@ def bdia_spmv_pallas_xl(vals, starts, rowstart, pxrows: int, xrows: int, x,
                          memory_space=pltpu.SMEM),       # window starts
             pl.BlockSpec((gb, D, R), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),       # coefficient stream
-            pl.BlockSpec(memory_space=pltpu.ANY),        # x2d stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),           # x2d stays in HBM
         ],
         out_specs=pl.BlockSpec((gb, R), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

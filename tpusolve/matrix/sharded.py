@@ -119,6 +119,13 @@ class ShardedMatrix:
         default=None, metadata=dict(static=True))
     bdia_xrows: int | None = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # --- BDIA per-block overflow lists: entries spilled when a block has
+    # more distinct offsets than the chosen D (e.g. a clipped boundary
+    # block) — applied as one small gather + scatter-add per SpMV.  Padded
+    # shard-uniform; padding rows point past row_pad (dropped on scatter).
+    bdia_ovf_rows: jax.Array | None = None  # (Pn, k) int32 local rows
+    bdia_ovf_cols: jax.Array | None = None  # (Pn, k) int32 local cols
+    bdia_ovf_vals: jax.Array | None = None  # (Pn, k) dtype
 
     # ------------------------------------------------------------------
     @property
@@ -341,33 +348,51 @@ class ShardedMatrix:
                 LANEb = bdia_mod.LANE
                 VMEM_BUDGET = BDIA_VMEM_BUDGET
                 for R in bdia_mod.BLOCK_SIZES:
-                    D = max((bdia_mod.plan_d(dp[0], dp[1], row_pad,
-                                             col_pad, R)
-                             for dp in diag_parts), default=0)
-                    B = (row_pad + R - 1) // R
-                    nbytes = nparts * B * D * R * itemsize
-                    if D <= 0 or nbytes > tile_budget:
+                    profs = [bdia_mod.plan_fill_profile(
+                        dp[0], dp[1], row_pad, col_pad, R)
+                        for dp in diag_parts]
+                    Dfull = max((len(pr) for pr in profs), default=0)
+                    if Dfull <= 0:
                         continue
+                    rank_totals = np.zeros(Dfull, np.int64)
+                    for pr in profs:
+                        rank_totals[:len(pr)] += pr
+                    # ovf[D] = entries spilled to the overflow list at cap D
+                    ovf = np.concatenate([
+                        np.cumsum(rank_totals[::-1])[::-1], [0]])
+                    B = (row_pad + R - 1) // R
                     rr = R // LANEb
-                    stream_vmem = 2 * gb * D * R * itemsize
                     xlen_bound = (max(col_pad, row_pad + max(0, d_max) + R)
                                   - min(0, d_min))
-                    if xlen_bound * itemsize + stream_vmem <= VMEM_BUDGET:
-                        t = bdia_mod.model_time_s(B, D, R, itemsize)
-                        mode = "whole"
-                    else:
-                        span = ((d_max - d_min + gb * R) // LANEb
-                                + rr + 2)
-                        pxrows = max(8, bdia_mod._pow2ceil(span))
-                        if (2 * pxrows * LANEb * itemsize + stream_vmem
-                                > VMEM_BUDGET):
+                    for D in range(1, Dfull + 1):
+                        nbytes = nparts * B * D * R * itemsize
+                        if nbytes > tile_budget:
+                            break   # grows with D: no larger D fits either
+                        k = int(ovf[D])
+                        # overflow must stay a correction, not a layout:
+                        # per-element gathers at scale are the problem BDIA
+                        # exists to avoid
+                        if k > max(4096, total_diag_nnz // 8):
                             continue
-                        t = bdia_mod.model_time_xl_s(B, D, R, pxrows,
-                                                     itemsize)
-                        mode = "xl"
-                    if t < bdia_time:
-                        bdia_time = t
-                        bdia_R, bdia_D, bdia_mode = R, D, mode
+                        stream_vmem = 2 * gb * D * R * itemsize
+                        if (xlen_bound * itemsize + stream_vmem
+                                <= VMEM_BUDGET):
+                            t = bdia_mod.model_time_s(B, D, R, itemsize)
+                            mode = "whole"
+                        else:
+                            span = ((d_max - d_min + gb * R) // LANEb
+                                    + rr + 2)
+                            pxrows = max(8, bdia_mod._pow2ceil(span))
+                            if (2 * pxrows * LANEb * itemsize + stream_vmem
+                                    > VMEM_BUDGET):
+                                continue
+                            t = bdia_mod.model_time_xl_s(B, D, R, pxrows,
+                                                         itemsize)
+                            mode = "xl"
+                        t += bdia_mod.model_ovf_time_s(k)
+                        if t < bdia_time:
+                            bdia_time = t
+                            bdia_R, bdia_D, bdia_mode = R, D, mode
             if bdia_time <= bell_time and bdia_time < float("inf"):
                 use_bdia = True
             elif bell_time < float("inf"):
@@ -399,13 +424,15 @@ class ShardedMatrix:
             Bb = (row_pad + bdia_R - 1) // bdia_R
             starts_raw = np.zeros((nparts, Bb, bdia_D), np.int64)
             s_idx, s_val = [], []
+            ovf_parts = []
             for p in range(nparts):
                 dlr, dlc, dv = diag_parts[p]
-                starts_raw[p], fi, vo = bdia_mod.compact(
+                starts_raw[p], fi, vo, o_r, o_c, o_v = bdia_mod.compact(
                     dlr, dlc, dv, row_pad, col_pad, bdia_R, bdia_D,
-                    dtype=dtype)
+                    dtype=dtype, overflow=True)
                 s_idx.append(fi)
                 s_val.append(vo)
+                ovf_parts.append((o_r, o_c, o_v))
             lo = int(min(0, starts_raw.min()))
             hi = int(max(col_pad, starts_raw.max() + bdia_R))
             bdia_xpad = -lo
@@ -429,6 +456,20 @@ class ShardedMatrix:
             else:
                 bdia_rowstart = None
                 bdia_pxrows = bdia_xrows = None
+            # overflow lists: pad shard-uniform; padding rows scatter past
+            # row_pad (dropped), padding cols/vals are harmless zeros
+            k_ovf = max((p_[0].size for p_ in ovf_parts), default=0)
+            if k_ovf > 0:
+                k_pad = _ceil_to(k_ovf, 8)
+                ovf_rows = np.full((nparts, k_pad), row_pad, np.int32)
+                ovf_cols = np.zeros((nparts, k_pad), np.int32)
+                ovf_vals = np.zeros((nparts, k_pad), dtype)
+                for p, (o_r, o_c, o_v) in enumerate(ovf_parts):
+                    ovf_rows[p, :o_r.size] = o_r
+                    ovf_cols[p, :o_c.size] = o_c
+                    ovf_vals[p, :o_v.size] = o_v
+            else:
+                ovf_rows = ovf_cols = ovf_vals = None
             dvals = np.zeros((nparts, row_pad, 1), dtype)
             dcols = np.zeros((nparts, row_pad, 1), np.int32)
             kd = 1
@@ -438,6 +479,7 @@ class ShardedMatrix:
             bdia_R = None
             bdia_rowstart = None
             bdia_pxrows = bdia_xrows = None
+            ovf_rows = ovf_cols = ovf_vals = None
         if use_dia:
             D = dia_union.size
             d_idx, d_val = [], []
@@ -520,6 +562,9 @@ class ShardedMatrix:
             bell_nwin=bell_nwin,
             bdia_block=bdia_R, bdia_xpad=bdia_xpad, bdia_xlen=bdia_xlen,
             bdia_pxrows=bdia_pxrows, bdia_xrows=bdia_xrows,
+            bdia_ovf_rows=put(ovf_rows) if ovf_rows is not None else None,
+            bdia_ovf_cols=put(ovf_cols) if ovf_cols is not None else None,
+            bdia_ovf_vals=put(ovf_vals) if ovf_vals is not None else None,
             has_offd=offd_nnz > 0,
             mesh=mesh, axis=axis, nnz=nnz)
 
@@ -738,6 +783,10 @@ class ShardedMatrix:
         belli_h = fetch_host(self.bell_ids) if self.uses_bell else None
         bdiav_h = fetch_host(self.bdia_vals) if self.uses_bdia else None
         bdias_h = fetch_host(self.bdia_starts) if self.uses_bdia else None
+        has_ovf = self.uses_bdia and self.bdia_ovf_vals is not None
+        ovfr_h = fetch_host(self.bdia_ovf_rows) if has_ovf else None
+        ovfc_h = fetch_host(self.bdia_ovf_cols) if has_ovf else None
+        ovfv_h = fetch_host(self.bdia_ovf_vals) if has_ovf else None
         ell_h = ellc_h = None
         if not (self.uses_dia or self.uses_bell or self.uses_bdia):
             ell_h = fetch_host(self.diag_vals)
@@ -777,6 +826,12 @@ class ShardedMatrix:
                 rows.append(ro[p] + lr[keep])
                 cols.append(co[p] + lc[keep])
                 vals.append(bv[b_i, d_i, r_i][keep])
+                if has_ovf:
+                    olr = ovfr_h[p].astype(np.int64)
+                    keep = olr < nr    # padding rows sit at row_pad
+                    rows.append(ro[p] + olr[keep])
+                    cols.append(co[p] + ovfc_h[p][keep].astype(np.int64))
+                    vals.append(ovfv_h[p][keep])
             else:
                 ev = ell_h[p]
                 ec = ellc_h[p]
@@ -810,6 +865,7 @@ class ShardedMatrix:
             self, diag_vals=cast(self.diag_vals), dia_vals=cast(self.dia_vals),
             bell_vals=cast(self.bell_vals),
             bdia_vals=cast(self.bdia_vals),
+            bdia_ovf_vals=cast(self.bdia_ovf_vals),
             offd_vals=cast(self.offd_vals), diag=cast(self.diag))
 
     def diagonal_padded(self) -> jax.Array:

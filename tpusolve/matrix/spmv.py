@@ -151,8 +151,24 @@ def _spmv_shard_dia(axis, offsets, dia_shape, has_offd, dia, ov, oc, sidx,
     return interior(x_loc)
 
 
-def _spmv_shard_bdia(axis, xpad, xlen, row_pad, has_offd, impl, bv, bs, ov,
-                     oc, sidx, gslot, x_loc):
+def _ovf_wrap(interior, ovf):
+    """Add the BDIA overflow term (entries spilled from blocks wider than
+    the chosen D): one small gather + scatter-add; padding rows sit at
+    row_pad and are dropped by the OOB scatter."""
+    if ovf is None:
+        return interior
+
+    orows, ocols, ovals = ovf
+
+    def fn(x):
+        y = interior(x)
+        return y.at[orows].add(ovals * x[ocols], mode="drop")
+
+    return fn
+
+
+def _spmv_shard_bdia(axis, xpad, xlen, row_pad, has_offd, impl, has_ovf,
+                     bv, bs, ov, oc, sidx, gslot, x_loc, *ovf_args):
     from tpusolve.kernels import bdia as bdia_mod
     bv, bs, ov, oc, sidx, gslot = (a[0] for a in (bv, bs, ov, oc, sidx,
                                                   gslot))
@@ -163,13 +179,16 @@ def _spmv_shard_bdia(axis, xpad, xlen, row_pad, has_offd, impl, bv, bs, ov,
     else:
         interior = lambda x: bdia_mod.bdia_spmv_local(bv, bs, x, xpad,
                                                       xlen, row_pad)
+    ovf = tuple(a[0] for a in ovf_args) if has_ovf else None
+    interior = _ovf_wrap(interior, ovf)
     if has_offd:
         return _offd_add(axis, x_loc, interior, ov, oc, sidx, gslot)
     return interior(x_loc)
 
 
 def _spmv_shard_bdia_xl(axis, xpad, xlen, row_pad, pxrows, xrows, has_offd,
-                        impl, bv, bs, rs, ov, oc, sidx, gslot, x_loc):
+                        impl, has_ovf, bv, bs, rs, ov, oc, sidx, gslot,
+                        x_loc, *ovf_args):
     from tpusolve.kernels import bdia as bdia_mod
     bv, bs, rs, ov, oc, sidx, gslot = (
         a[0] for a in (bv, bs, rs, ov, oc, sidx, gslot))
@@ -179,6 +198,8 @@ def _spmv_shard_bdia_xl(axis, xpad, xlen, row_pad, pxrows, xrows, has_offd,
     else:
         interior = lambda x: bdia_mod.bdia_spmv_local(bv, bs, x, xpad,
                                                       xlen, row_pad)
+    ovf = tuple(a[0] for a in ovf_args) if has_ovf else None
+    interior = _ovf_wrap(interior, ovf)
     if has_offd:
         return _offd_add(axis, x_loc, interior, ov, oc, sidx, gslot)
     return interior(x_loc)
@@ -226,21 +247,26 @@ def spmv(A, x):
         # lane-rotation pallas kernel on TPU; the XLA window-gather
         # formulation elsewhere (CPU tests)
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        has_ovf = A.bdia_ovf_vals is not None
+        ovf = ((A.bdia_ovf_rows, A.bdia_ovf_cols, A.bdia_ovf_vals)
+               if has_ovf else ())
         if A.bdia_rowstart is not None:
             # XL variant: x stays in HBM, panels DMA'd per grid step
             fn = shard_map(
                 partial(_spmv_shard_bdia_xl, A.axis, A.bdia_xpad,
                         A.bdia_xlen, A.row_pad, A.bdia_pxrows, A.bdia_xrows,
-                        A.has_offd, impl),
-                mesh=A.mesh, in_specs=(spec,) * 8, out_specs=spec)
+                        A.has_offd, impl, has_ovf),
+                mesh=A.mesh, in_specs=(spec,) * (8 + len(ovf)),
+                out_specs=spec)
             return fn(A.bdia_vals, A.bdia_starts, A.bdia_rowstart,
-                      A.offd_vals, A.offd_cols, A.send_idx, A.ghost_slot, x)
+                      A.offd_vals, A.offd_cols, A.send_idx, A.ghost_slot, x,
+                      *ovf)
         fn = shard_map(
             partial(_spmv_shard_bdia, A.axis, A.bdia_xpad, A.bdia_xlen,
-                    A.row_pad, A.has_offd, impl),
-            mesh=A.mesh, in_specs=(spec,) * 7, out_specs=spec)
+                    A.row_pad, A.has_offd, impl, has_ovf),
+            mesh=A.mesh, in_specs=(spec,) * (7 + len(ovf)), out_specs=spec)
         return fn(A.bdia_vals, A.bdia_starts, A.offd_vals, A.offd_cols,
-                  A.send_idx, A.ghost_slot, x)
+                  A.send_idx, A.ghost_slot, x, *ovf)
     if A.uses_bell:
         fn = shard_map(
             partial(_spmv_shard_bell, A.axis, A.bell_nwin, A.row_pad,
