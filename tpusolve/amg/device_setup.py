@@ -44,6 +44,7 @@ import numpy as np
 import scipy.sparse as sp
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from tpusolve.matrix.sharded import ShardedMatrix
 from tpusolve.matrix.spmv import _decompose_offset
@@ -549,16 +550,49 @@ def _pack_planes_to_ell(planes, cols_planes):
     return v, c, K
 
 
-@partial(jax.jit, static_argnames=("flats",))
-def _p_stack_jit(Pv, cnum, flats):
-    """P value/col planes on the fine lattice: col of plane d at row i is
-    cnum[i + flat(d)] (entries at out-of-range shifts are zero)."""
-    D = len(flats)
+@jax.jit
+def _row_width_max_planes(Pv):
+    """max over rows of the nonzero count across planes, without the
+    (D, n) bool temp (fori accumulation: one (n,) int32 carry)."""
+    D = Pv.shape[0]
+    Ps = Pv.reshape(D, -1)
+
+    def body(d, acc):
+        return acc + (Ps[d] != 0).astype(jnp.int32)
+
+    w = lax.fori_loop(0, D, body, jnp.zeros(Ps.shape[1], jnp.int32))
+    return jnp.max(w)
+
+
+@partial(jax.jit, static_argnames=("K",))
+def _pack_p_ell_jit(Pv, cnum, flats_arr, K):
+    """Fused P pack: ELL (n, K) values/cols straight from the interp value
+    planes — the col of plane d at row i is cnum[i + flats_arr[d]],
+    computed per plane inside the pack loop.  Never materializes the
+    (D, n) value/col stacks (2 x 1.8 GB at 256^3 — the allocation that
+    OOM'd the 16 GB v5e tail of the 256^3 setup).  Also returns nnz(P)."""
+    D = Pv.shape[0]
     nn = Pv[0].size
     Ps = Pv.reshape(D, -1)
-    ar = jnp.arange(nn, dtype=jnp.int32)
-    pc = jnp.stack([cnum[jnp.clip(ar + f, 0, nn - 1)] for f in flats])
-    return Ps, pc
+    rows = jnp.arange(nn, dtype=jnp.int32)
+
+    def body(d, carry):
+        out_v, out_c, cur, nnz = carry
+        v = Ps[d]
+        cols = cnum[jnp.clip(rows + flats_arr[d], 0, nn - 1)]
+        nz = v != 0
+        slot = jnp.where(nz, cur, K)     # OOB scatter drops the zeros
+        out_v = out_v.at[rows, slot].set(v, mode="drop")
+        out_c = out_c.at[rows, slot].set(cols, mode="drop")
+        return (out_v, out_c, cur + nz.astype(jnp.int32),
+                nnz + jnp.sum(nz, dtype=jnp.int32))
+
+    out_v = jnp.zeros((nn, K), Ps.dtype)
+    out_c = jnp.zeros((nn, K), jnp.int32)
+    cur = jnp.zeros(nn, jnp.int32)
+    out_v, out_c, _, nnz = lax.fori_loop(
+        0, D, body, (out_v, out_c, cur, jnp.int32(0)))
+    return out_v, out_c, nnz
 
 
 @partial(jax.jit, static_argnames=("comps", "dims"))
@@ -800,19 +834,24 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
 
     # --- P/R as device ELL (rectangular) ---
     comps_t = tuple(tuple(c) for c in comps)
-    Pstack, PCstack = _p_stack_jit(Pv, cnum,
-                                   tuple(_flat(c, dims) for c in comps))
-    P_v, P_c, Kp = _pack_planes_to_ell(Pstack, PCstack)
-    nnz_p = int(jnp.sum(Pstack != 0))
+    flats_arr = jnp.asarray([_flat(c, dims) for c in comps], jnp.int32)
+    Kp = min(len(comps),
+             max(8, _round_up(int(_row_width_max_planes(Pv)), 8)))
+    P_v, P_c, nnz_p32 = _pack_p_ell_jit(Pv, cnum, flats_arr, Kp)
+    nnz_p = int(nnz_p32)
     P_sh = _ell_sharded(mesh, (n, nc), P_v, P_c,
                         np.array([0, n], np.int64), col_off_c,
                         np.ones(n, dt), nnz_p, axis=A.axis)
+    del P_v, P_c
 
     Rstack, RCstack = _r_stack_jit(Pv, cidx, comps_t, dims)
+    del Pv
     R_v, R_c, Kr = _pack_planes_to_ell(Rstack, RCstack)
+    del Rstack, RCstack
     R_sh = _ell_sharded(mesh, (nc, n), R_v, R_c,
                         row_off_c, np.array([0, n], np.int64),
                         np.ones(nc, dt), nnz_p, axis=A.axis)
+    del R_v, R_c
     t0 = _phase("P/R compaction")
 
     # --- compact coarse CSR to host (feeds the remaining host levels) ---
