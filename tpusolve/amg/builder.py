@@ -225,29 +225,41 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
     # smaller coarse level back to this host pipeline.  Also the only path
     # that never needs the fine host CSR (north-star problem sizes).
     res = None
+    dev_note = None
     if A.shape[0] > max_coarse and cfg.max_levels > 1:
         log = (lambda s: print(s, flush=True)) if log_on else None
         from tpusolve.amg import device_setup_sharded
+        from tpusolve.amg import device_setup_ell
         if device_setup_sharded.eligible(A, cfg, lattice_parts):
             if log_on:
                 print(f"  setup level 0 [device, {A.nparts} parts]: "
                       f"n={A.shape[0]} nnz={A.nnz}", flush=True)
             res = device_setup_sharded.device_level0_sharded(
                 A, cfg, lattice_parts, seed=seed, log=log)
+            dev_note = ("level 0 setup on device (DIA offset algebra: "
+                        "strength/PMIS/interp/RAP as shifted streaming ops)")
         elif device_setup.eligible(A, cfg):
             if log_on:
                 print(f"  setup level 0 [device]: n={A.shape[0]} "
                       f"nnz={A.nnz}", flush=True)
             res = device_setup.device_level0(A, cfg, seed=seed, log=log)
+            dev_note = ("level 0 setup on device (DIA offset algebra: "
+                        "strength/PMIS/interp/RAP as shifted streaming ops)")
+        elif device_setup_ell.eligible(A, cfg, A_host):
+            if log_on:
+                print(f"  setup level 0 [device, generic ELL]: "
+                      f"n={A.shape[0]} nnz={A.nnz}", flush=True)
+            res = device_setup_ell.device_level0_ell(
+                A, cfg, A_host=A_host, seed=seed, log=log)
+            dev_note = ("level 0 setup on device (generic ELL: PMIS via "
+                        "gather/scatter rounds, RAP as sort-based SpGEMM)")
         if res is not None and res["nc"] >= min_coarse:
             lev = _make_level_device(mesh, A, res, kind_down, kind_up, cfg)
             levels.append(lev)
             Ah = res["Ah_c"]
             A_sh = res["Ac"]
             lvl_start = 1
-            note = ("level 0 setup on device (DIA offset algebra: "
-                    "strength/PMIS/interp/RAP as shifted streaming ops)")
-            notes.append(note)
+            notes.append(dev_note)
             if cfg.coarsen_type != 8:
                 notes.append(f"device setup: coarsen_type "
                              f"{cfg.coarsen_type} runs PMIS (as in hypre's "

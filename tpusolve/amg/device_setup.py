@@ -864,6 +864,11 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
     data = ell_v_h[mask].astype(np.float64)
     indices = ell_c_h[mask].astype(np.int64)
     Ah_c = sp.csr_matrix((data, indices, indptr), shape=(nc, nc))
+    # ELL slot order is dc-plane order, not column order: sort so the
+    # native setup kernels (which require sorted indices) accept the
+    # coarse level — unsorted, the whole host continuation falls back to
+    # numpy (measured 100 s vs ~4 s for level-1 interpolation at 256^3)
+    Ah_c.sort_indices()
     t0 = _phase("coarse CSR fetch")
 
     return dict(Cmask=Cmask.reshape(-1), nc=nc, P=P_sh, R=R_sh,

@@ -1,0 +1,475 @@
+"""Device-side fine-level AMG setup for generic (unstructured) ELL operators.
+
+The DIA device setup (amg/device_setup.py) covers stencil/lattice operators;
+*file-loaded* systems — the reference's MatrixMarket / HYPRE-IJ paths
+(src/HypreSystem.cpp:1613-1969, :1021-1318) feeding BoomerAMGSetup on device
+(src/HypreSystem.cpp:692) — have no offset lattice.  This module runs the
+same fine-level pipeline (strength -> PMIS -> direct interpolation ->
+Galerkin RAP) on the TPU for an arbitrary padded-ELL operator:
+
+* strength / interpolation weights: row-local slot arithmetic on the
+  (n, K) ELL planes — elementwise plus one ``Cmask`` gather;
+* PMIS: iterative independent set; neighbor maxima over S run as one
+  row gather (S rows) plus one scatter-max (S^T rows) per round;
+* Galerkin RAP: two sparse products as *expand -> sort -> segment-sum*
+  contractions, chunked over rows so the (rows, K*Kp) expansion stays
+  in a bounded HBM footprint.  This is the TPU analog of hypre's
+  hash-based device SpGEMM (vendor SpGEMM toggle, src/main.cpp:127-156):
+  XLA has no hash tables, but a per-row bitonic sort over the slot axis
+  is VPU-friendly and the duplicate collapse becomes a masked segmented
+  scatter-add.
+
+Semantics mirror the host pipeline exactly (amg/strength.py,
+amg/coarsen.py:pmis, amg/interp.py:direct_interpolation, amg/galerkin.py)
+with the same seeded tie-break randoms, so host and device hierarchies
+agree to roundoff — tested in tests/test_device_setup_ell.py.
+
+Eligibility (phase 1): single-part square operators, ``interp_type: 3``
+(direct — distance-1, row-local), PMIS-family coarsening, and the shared
+``config_eligible`` gates.  Classical-modified interpolation needs
+distance-2 row intersections (a gather of neighbor rows matched against
+the row's own C-set) and stays on the host pipeline for now.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from functools import partial
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpusolve.matrix.sharded import ShardedMatrix
+from tpusolve.amg.device_setup import (config_eligible, _ell_sharded,
+                                       _round_up)
+
+# device path is worthwhile above this size (below it the host native
+# kernels are already fast and keep full config coverage)
+MIN_DEVICE_N = 1 << 18
+# ELL width guard: (n, K) planes with K beyond this indicate a dense-ish
+# row profile the expansion products would blow up on
+MAX_ELL_K = 64
+
+
+def eligible(A: ShardedMatrix, cfg, A_host=None) -> bool:
+    """Whether the fine level can run the generic-ELL device setup."""
+    import os
+    if os.environ.get("TPUSOLVE_HOST_SETUP", "0") == "1":
+        return False
+    if os.environ.get("TPUSOLVE_ELL_SETUP", "1") == "0":
+        return False
+    if A.nparts != 1 or A.shape[0] != A.shape[1] or A.has_offd:
+        return False
+    n = A.shape[0]
+    if n >= 2**31:
+        return False
+    if n < int(os.environ.get("TPUSOLVE_DEVICE_SETUP_MIN_N", MIN_DEVICE_N)):
+        return False
+    # need an ELL source: the real ELL diag layout, or the host CSR to
+    # stage one from (file-loaded systems keep A_host through assembly)
+    has_ell = not (A.uses_dia or A.uses_bell or A.uses_bdia)
+    if has_ell:
+        if A.diag_vals.shape[2] > MAX_ELL_K:
+            return False
+    else:
+        if A_host is None:
+            return False
+        if int(np.diff(A_host.tocsr().indptr).max()) > MAX_ELL_K:
+            return False
+    if not config_eligible(cfg):
+        return False
+    # phase 1: direct interpolation only (distance-1, row-local); classical
+    # (0) needs distance-2 row intersections — host pipeline keeps it
+    return cfg.interp_type == 3
+
+
+# ----------------------------------------------------------------------
+# input staging
+
+def _stage_ell(A: ShardedMatrix, A_host):
+    """(vals, cols) (n_pad, K) device ELL of the diag block (global cols ==
+    local cols: single part).  Reuses A.diag_vals when it is the real
+    layout; otherwise packs the host CSR (vectorized O(nnz))."""
+    if not (A.uses_dia or A.uses_bell or A.uses_bdia):
+        return A.diag_vals[0], A.diag_cols[0]
+    M = A_host.tocsr()
+    n = M.shape[0]
+    counts = np.diff(M.indptr)
+    K = max(8, _round_up(int(counts.max()), 8))
+    n_pad = A.row_pad
+    vals = np.zeros((n_pad, K), A.dtype)
+    cols = np.zeros((n_pad, K), np.int32)
+    rows = np.repeat(np.arange(n), counts)
+    slot = np.arange(M.nnz) - np.repeat(M.indptr[:-1], counts)
+    vals[rows, slot] = M.data.astype(A.dtype)
+    cols[rows, slot] = M.indices.astype(np.int32)
+    return jnp.asarray(vals), jnp.asarray(cols)
+
+
+# ----------------------------------------------------------------------
+# stage 1: strength + PMIS
+
+@partial(jax.jit, static_argnames=("n", "theta", "max_rounds"))
+def _stage1_jit(vals, cols, rand, n, theta, max_rounds):
+    """Strength + PMIS on the ELL slots, mirroring
+    strength.classical_strength + coarsen.pmis.  Returns (S mask
+    (n_pad, K), state (n_pad,) int32 1=C/0=F, diag (n_pad,))."""
+    n_pad, K = vals.shape
+    rows = jnp.arange(n_pad, dtype=jnp.int32)[:, None]
+    offd = cols != rows
+    diag = jnp.sum(jnp.where(~offd, vals, 0.0), axis=1)
+    sflip = jnp.where(diag < 0, -1.0, 1.0).astype(vals.dtype)
+    # padding slots carry cand = 0 and never pass `cand > 0`; a padded
+    # rowmax of 0 (vs the host's -inf) changes no outcome for the same
+    # reason (thresh only matters above 0)
+    cand = jnp.where(offd, -vals * sflip[:, None], -jnp.inf)
+    rowmax = jnp.max(cand, axis=1)
+    S = (cand >= theta * rowmax[:, None]) & (cand > 0)   # (n_pad, K)
+    valid_row = rows[:, 0] < n
+    S = S & valid_row[:, None]
+
+    # influence[j] = |{i : S[i, j]}| (column counts of S)
+    cols_safe = jnp.where(S, cols, n_pad - 1)    # scatter target under S
+    influence = jnp.zeros((n_pad,), vals.dtype).at[cols_safe].add(
+        jnp.where(S, 1.0, 0.0).astype(vals.dtype))
+    w = influence + rand
+
+    UND, C, F = jnp.int32(-1), jnp.int32(1), jnp.int32(0)
+    state0 = jnp.where(influence == 0, F, UND)
+    state0 = jnp.where(valid_row, state0, F)     # padding rows: F, inert
+    rem0 = jnp.sum(state0 == UND)
+
+    def body(carry):
+        state, rem, it = carry
+        active = state == UND
+        wa = jnp.where(active, w, -1.0)
+        # G = S ∪ S^T neighbor max of wa:
+        #   S rows: gather wa at this row's strong cols
+        m_row = jnp.max(jnp.where(S, wa[cols_safe], -1.0), axis=1)
+        #   S^T rows: scatter-max wa[i] into each strong col of row i
+        m_colT = jnp.full((n_pad,), -1.0, wa.dtype).at[cols_safe].max(
+            jnp.where(S, wa[:, None], -1.0))
+        nbrmax = jnp.maximum(m_row, m_colT)
+        newC = active & (wa > nbrmax)
+        state = jnp.where(newC, C, state)
+        # i -> F if some strong col j of i is new C
+        hit = jnp.any(S & newC[cols_safe], axis=1)
+        state = jnp.where(active & ~newC & hit, F, state)
+        rem = jnp.sum(state == UND)
+        return state, rem, it + 1
+
+    def cond(carry):
+        _, rem, it = carry
+        return (it < max_rounds) & (rem > 0)
+
+    state, _, _ = lax.while_loop(cond, body, (state0, rem0, jnp.int32(0)))
+    state = jnp.where(state == UND, C, state)       # leftovers -> C
+    state = jnp.where(valid_row, state, jnp.int32(0))
+    return S, state, diag
+
+
+# ----------------------------------------------------------------------
+# stage 2: direct interpolation (interp_type 3), row-local
+
+@partial(jax.jit, static_argnames=("Kp",))
+def _interp_direct_jit(vals, cols, S, Cmask, cmap, diag, Kp):
+    """P as (n_pad, Kp) ELL (coarse cols), mirroring
+    interp.direct_interpolation.  C rows: identity at cmap[row]."""
+    n_pad, K = vals.shape
+    rows = jnp.arange(n_pad, dtype=jnp.int32)
+    offd = cols != rows[:, None]
+    is_C = Cmask > 0
+    strongC = S & (Cmask[jnp.where(S, cols, 0)] > 0)
+
+    neg = vals < 0
+    pos = vals > 0
+    sum_neg = jnp.sum(jnp.where(offd & neg, vals, 0.0), axis=1)
+    sum_pos = jnp.sum(jnp.where(offd & pos, vals, 0.0), axis=1)
+    sC_neg = jnp.sum(jnp.where(strongC & neg, vals, 0.0), axis=1)
+    sC_pos = jnp.sum(jnp.where(strongC & pos, vals, 0.0), axis=1)
+    alpha = jnp.where(sC_neg != 0,
+                      sum_neg / jnp.where(sC_neg != 0, sC_neg, 1.0), 0.0)
+    beta = jnp.where(sC_pos != 0,
+                     sum_pos / jnp.where(sC_pos != 0, sC_pos, 1.0), 0.0)
+    dlump = jnp.where(sC_pos == 0, sum_pos, 0.0)
+    dii = diag + dlump
+    dii = jnp.where(dii != 0, dii, 1.0)
+
+    keep = strongC & ~is_C[:, None]
+    scale = jnp.where(vals < 0, alpha[:, None], beta[:, None])
+    w = jnp.where(keep, -scale * vals / dii[:, None], 0.0)
+    pcol = jnp.where(keep, cmap[jnp.where(keep, cols, 0)], 0)
+
+    # cursor-pack the keep slots, then the C identity in the first slot
+    def body(k, carry):
+        ov, oc, cur = carry
+        kk = keep[:, k]
+        slot = jnp.where(kk, cur, Kp)
+        ov = ov.at[rows, slot].set(w[:, k], mode="drop")
+        oc = oc.at[rows, slot].set(pcol[:, k], mode="drop")
+        return ov, oc, cur + kk.astype(jnp.int32)
+
+    ov = jnp.zeros((n_pad, Kp), vals.dtype)
+    oc = jnp.zeros((n_pad, Kp), jnp.int32)
+    cur = jnp.zeros((n_pad,), jnp.int32)
+    ov, oc, cur = lax.fori_loop(0, K, body, (ov, oc, cur))
+    ov = ov.at[:, 0].set(jnp.where(is_C, 1.0, ov[:, 0]))
+    oc = oc.at[:, 0].set(jnp.where(is_C, cmap, oc[:, 0]))
+    nnz_p = jnp.sum(cur) + jnp.sum(is_C)
+    return ov, oc, nnz_p
+
+
+# ----------------------------------------------------------------------
+# sort-based sparse products (expand -> sort -> segment scatter-add)
+
+def _expand_sorted(avals_c, acols_c, Bv, Bc, sentinel):
+    """(C, K) left chunk x B (ELL) -> expanded+sorted (C, K*Kb)
+    (vals, cols); dead terms carry the sentinel column (sorted last)."""
+    amask = avals_c != 0
+    bv = Bv[acols_c]                              # (C, K, Kb)
+    bc = Bc[acols_c]
+    term = avals_c[:, :, None] * bv
+    ok = amask[:, :, None] & (bv != 0)
+    cols = jnp.where(ok, bc, sentinel)
+    term = jnp.where(ok, term, 0.0)
+    Cn = avals_c.shape[0]
+    cols = cols.reshape(Cn, -1)
+    term = term.reshape(Cn, -1)
+    cols_s, term_s = lax.sort((cols, term), dimension=1, num_keys=1)
+    return term_s, cols_s
+
+
+_expand_sorted_jit = jax.jit(_expand_sorted, static_argnames=("sentinel",))
+
+
+@partial(jax.jit, static_argnames=("sentinel",))
+def _run_counts(colsM, sentinel):
+    """Per-row count of distinct non-sentinel columns in a SORTED (C, M)
+    block."""
+    prev = jnp.concatenate(
+        [jnp.full((colsM.shape[0], 1), -1, colsM.dtype), colsM[:, :-1]], 1)
+    start = (colsM != prev) & (colsM < sentinel)
+    return jnp.sum(start, axis=1, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("Kout",))
+def _pack_runs(valsM, colsM, sent_arr, Kout):
+    """SORTED (C, M) -> dedup-packed (C, Kout) ELL (segment scatter-add)."""
+    Cn = colsM.shape[0]
+    prev = jnp.concatenate(
+        [jnp.full((Cn, 1), -1, colsM.dtype), colsM[:, :-1]], 1)
+    start = colsM != prev
+    valid = colsM < sent_arr
+    run_id = jnp.cumsum(start.astype(jnp.int32), axis=1) - 1
+    run_id = jnp.where(valid, run_id, Kout)       # sentinel runs dropped
+    rows = jnp.arange(Cn, dtype=jnp.int32)[:, None]
+    ov = jnp.zeros((Cn, Kout), valsM.dtype).at[rows, run_id].add(
+        valsM, mode="drop")
+    oc = jnp.zeros((Cn, Kout), jnp.int32).at[rows, run_id].max(
+        jnp.where(valid, colsM, 0), mode="drop")
+    return ov, oc
+
+
+def _chunked_product(Av, Acols, Bv, Bc, sentinel, log=None, tag=""):
+    """ELL x ELL -> dedup-packed ELL, chunked over rows of the left factor.
+
+    Two passes: widths first (fixes Kout), then pack.  Chunks share one
+    compiled expand/sort/pack (shapes uniform; tail chunk zero-padded)."""
+    n_pad, K = Av.shape
+    Kb = Bv.shape[1]
+    itemsize = np.dtype(Av.dtype).itemsize
+    budget = 1 << 28                               # ~256 MB per expansion
+    chunk = max(256, min(n_pad, budget // max(K * Kb * itemsize, 1)))
+    chunk = _round_up(chunk, 256)
+    nch = (n_pad + chunk - 1) // chunk
+    pad_to = nch * chunk
+    if pad_to != n_pad:
+        Av = jnp.pad(Av, ((0, pad_to - n_pad), (0, 0)))
+        Acols = jnp.pad(Acols, ((0, pad_to - n_pad), (0, 0)))
+
+    counts = []
+    for c in range(nch):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        _, tc = _expand_sorted_jit(Av[sl], Acols[sl], Bv, Bc,
+                                   sentinel=sentinel)
+        counts.append(_run_counts(tc, sentinel=sentinel))
+    cnt = np.asarray(jnp.concatenate(counts))[:n_pad]
+    Kout = max(8, _round_up(int(cnt.max()), 8))
+    nnz = int(cnt.sum(dtype=np.int64))
+    if log is not None:
+        log(f"      spgemm[{tag}]: K={Kout} nnz={nnz} chunks={nch}")
+
+    sent_arr = jnp.int32(sentinel)
+    ovs, ocs = [], []
+    for c in range(nch):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        tv, tc = _expand_sorted_jit(Av[sl], Acols[sl], Bv, Bc,
+                                    sentinel=sentinel)
+        ov, oc = _pack_runs(tv, tc, sent_arr, Kout=Kout)
+        ovs.append(ov)
+        ocs.append(oc)
+    return (jnp.concatenate(ovs)[:n_pad], jnp.concatenate(ocs)[:n_pad],
+            Kout, nnz)
+
+
+# ----------------------------------------------------------------------
+# R = P^T via one global stable sort over P's COO expansion
+
+_I32_MAX = 2**31 - 1
+
+
+@jax.jit
+def _p_coo_sorted(Pv, Pc):
+    """P's COO expansion stable-sorted by coarse column (dead slots carry
+    INT32_MAX keys, sorted last)."""
+    n_pad = Pv.shape[0]
+    rows = jnp.broadcast_to(
+        jnp.arange(n_pad, dtype=jnp.int32)[:, None], Pv.shape).reshape(-1)
+    vals = Pv.reshape(-1)
+    cols = Pc.reshape(-1)
+    live = vals != 0
+    key = jnp.where(live, cols, jnp.int32(_I32_MAX))
+    return lax.sort((key, rows, vals), dimension=0, num_keys=1,
+                    is_stable=True)
+
+
+@partial(jax.jit, static_argnames=("nc", "Kr"))
+def _pack_transpose(key_s, rows_s, vals_s, nc, Kr):
+    """Sorted COO (by coarse col) -> (nc, Kr) ELL of R = P^T."""
+    m = key_s.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    start = key_s != jnp.concatenate(
+        [jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
+    first = lax.associative_scan(jnp.maximum, jnp.where(start, idx, -1))
+    rank = idx - first
+    valid = key_s < jnp.int32(_I32_MAX)
+    rr = jnp.where(valid, key_s, nc)
+    kk = jnp.where(valid, rank, Kr)
+    ov = jnp.zeros((nc, Kr), vals_s.dtype).at[rr, kk].set(
+        vals_s, mode="drop")
+    oc = jnp.zeros((nc, Kr), jnp.int32).at[rr, kk].set(
+        rows_s, mode="drop")
+    return ov, oc
+
+
+# ----------------------------------------------------------------------
+# orchestrator
+
+def device_level0_ell(A: ShardedMatrix, cfg, *, A_host=None,
+                      seed: int = 1234, log=None):
+    """Run the fine-level setup on device for a generic ELL operator.
+
+    Returns the same result dict as device_setup.device_level0, or None
+    if coarsening stalls (caller falls back to the host pipeline)."""
+    t0 = _time.perf_counter()
+
+    def _phase(label):
+        if log is not None:
+            t = _time.perf_counter()
+            log(f"    setup[dev-ell]: {label:24s} {t - t0:8.2f}s")
+        return _time.perf_counter()
+
+    mesh = A.mesh
+    n = A.shape[0]
+    dt = A.dtype
+
+    vals, cols = _stage_ell(A, A_host)
+    n_pad, K = (int(s) for s in vals.shape)
+    if K > MAX_ELL_K:
+        return None
+    t0 = _phase("ELL staging")
+
+    # --- strength + PMIS (host-identical tie-break randoms) ---
+    theta = float(cfg.strong_threshold)
+    rng = np.random.default_rng(seed)
+    rand = np.zeros(n_pad, np.dtype(dt))
+    rand[:n] = rng.random(n).astype(np.dtype(dt))
+    max_rounds = 10 * int(np.ceil(np.log2(n + 2))) + 20
+    S, state, diag = _stage1_jit(vals, cols, jnp.asarray(rand), n=n,
+                                 theta=theta, max_rounds=max_rounds)
+    Cmask = (state == 1).astype(dt)
+    nc = int(jnp.sum(Cmask))
+    t0 = _phase("strength+PMIS")
+    if nc == 0 or nc >= n:
+        return None
+
+    # --- direct interpolation ---
+    cmap = jnp.cumsum(state == 1).astype(jnp.int32) - 1
+    pw = int(jnp.max(jnp.sum(
+        S & (Cmask[jnp.where(S, cols, 0)] > 0) & (Cmask[:, None] == 0),
+        axis=1)))
+    Kp = max(8, _round_up(max(pw, 1), 8))
+    Pv, Pc, nnz_p32 = _interp_direct_jit(vals, cols, S, Cmask, cmap, diag,
+                                         Kp=Kp)
+    nnz_p = int(nnz_p32)
+    del S
+
+    # smoother data (while the fine ELL is still live)
+    @jax.jit
+    def smoother_data(vals, diag):
+        d = jnp.where(diag != 0, diag, 1.0)
+        l1 = jnp.sum(jnp.abs(vals), axis=1)
+        return 1.0 / d, 1.0 / jnp.where(l1 != 0, l1, 1.0)
+
+    dinv, dinv_l1 = smoother_data(vals, diag)
+    t0 = _phase("interpolation")
+
+    # --- W = A @ P (chunked expand/sort/pack) ---
+    Wv, Wc, Kw, nnz_w = _chunked_product(vals, cols, Pv, Pc, sentinel=nc,
+                                         log=log, tag="A@P")
+    t0 = _phase("A@P")
+
+    # --- R = P^T (global stable sort of P's COO) ---
+    key_s, rows_s, vals_s = _p_coo_sorted(Pv, Pc)
+    rcnt = jnp.zeros((nc + 1,), jnp.int32).at[
+        jnp.where(key_s < _I32_MAX, key_s, nc)].add(1)
+    Kr = max(8, _round_up(int(jnp.max(rcnt[:nc])), 8))
+    Rv, Rc = _pack_transpose(key_s, rows_s, vals_s, nc=nc, Kr=Kr)
+    del key_s, rows_s, vals_s
+    t0 = _phase("R = P^T")
+
+    # --- Ac = R @ W ---
+    Acv, Acc, Kc, nnz_c = _chunked_product(Rv, Rc, Wv, Wc, sentinel=nc,
+                                           log=log, tag="R@(AP)")
+    del Wv, Wc
+    t0 = _phase("R@(AP)")
+
+    # --- wrap as ShardedMatrix (single part; coarse vectors length nc,
+    # exactly like the DIA device path) ---
+    rows_c = jnp.arange(nc, dtype=jnp.int32)[:, None]
+    dmain = jnp.sum(jnp.where((Acc == rows_c) & (Acv != 0), Acv, 0.0),
+                    axis=1)
+    dmain = jnp.where(dmain == 0, 1.0, dmain)
+    col_off_c = np.array([0, nc], np.int64)
+    row_off_f = np.array([0, n], np.int64)
+    Ac_sh = _ell_sharded(mesh, (nc, nc), Acv, Acc, col_off_c, col_off_c,
+                         dmain, nnz_c, axis=A.axis)
+    P_sh = _ell_sharded(mesh, (n, nc), Pv, Pc, row_off_f, col_off_c,
+                        jnp.ones(n_pad, dt), nnz_p, axis=A.axis)
+    R_sh = _ell_sharded(mesh, (nc, n), Rv, Rc, col_off_c, row_off_f,
+                        jnp.ones(nc, dt), nnz_p, axis=A.axis)
+    del Pv, Pc, Rv, Rc
+    t0 = _phase("P/R/Ac wrap")
+
+    # --- compact coarse CSR to host (feeds the remaining host levels) ---
+    ell_v_h = np.asarray(Acv)
+    ell_c_h = np.asarray(Acc)
+    mask = ell_v_h != 0
+    counts_h = mask.sum(axis=1)
+    indptr = np.zeros(nc + 1, np.int64)
+    np.cumsum(counts_h, out=indptr[1:])
+    Ah_c = sp.csr_matrix((ell_v_h[mask].astype(np.float64),
+                          ell_c_h[mask].astype(np.int64), indptr),
+                         shape=(nc, nc))
+    # runs are emitted in ascending column order, but the raw constructor
+    # leaves has_sorted_indices unset — assert it so the native setup
+    # kernels accept the coarse level without a numpy fallback
+    Ah_c.sort_indices()
+    t0 = _phase("coarse CSR fetch")
+
+    return dict(Cmask=Cmask, nc=nc, P=P_sh, R=R_sh, Ac=Ac_sh, Ah_c=Ah_c,
+                dinv=dinv, dinv_l1=dinv_l1,
+                coarse_row_offsets=np.array([0, nc], np.int64))
