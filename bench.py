@@ -248,6 +248,53 @@ def _case_device_setup_256() -> dict:
             "note": "target <= 60 s at 16.8M rows (VERDICT r2 #2)"}
 
 
+def _case_ell_setup() -> dict:
+    """Algebraic AMG setup on an UNSTRUCTURED operator — 128^3 27-pt under
+    a random symmetric permutation (2.1M rows, 56M nnz, no recoverable
+    offset structure): the generic-ELL device setup path
+    (amg/device_setup_ell.py; the file-loaded-system analog of the
+    reference's on-device BoomerAMGSetup, src/HypreSystem.cpp:692).
+    Reports the warm-compile-cache time (the production steady state);
+    cold includes one-time XLA sort compiles (persistently cached)."""
+    import jax
+    from tpusolve.mesh import make_mesh
+    from tpusolve.stencil import laplace27
+    from tpusolve.config import BoomerAMGConfig
+    from tpusolve.amg.builder import boomeramg_setup
+    from tpusolve.matrix.sharded import ShardedMatrix
+
+    if jax.devices()[0].platform == "cpu":
+        return {"metric": "boomeramg_setup_128^3_ell_device", "skipped": "cpu"}
+    import scipy.sparse as sp
+    mesh = make_mesh(1)
+    _, _, _, Ah = laplace27(mesh, 128, 128, 128, dtype=np.float32,
+                            with_host=True)
+    Ah = Ah.tocsr()
+    n = Ah.shape[0]
+    perm = np.random.default_rng(0).permutation(n)
+    coo = Ah.tocoo()
+    Ah = sp.csr_matrix((coo.data, (perm[coo.row], perm[coo.col])),
+                       shape=(n, n))
+    Ah.sort_indices()
+    A = ShardedMatrix.from_csr_host(mesh, Ah, dtype=np.float32,
+                                    allow_bell=False, allow_bdia=False)
+    cfg = BoomerAMGConfig(interp_type=3)
+    t0 = time.perf_counter()
+    pre = boomeramg_setup(A, cfg, A_host=Ah)
+    cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pre = boomeramg_setup(A, cfg, A_host=Ah)
+    setup_s = time.perf_counter() - t0
+    dev = any("generic ELL" in s for s in pre.notes)
+    return {"metric": "boomeramg_setup_128^3_ell_device",
+            "value": round(setup_s, 2), "unit": "s_warm",
+            "vs_baseline": round(15.4 / max(setup_s, 1e-9), 4),
+            "cold_s": round(cold_s, 2), "levels": pre.num_levels,
+            "device_path": bool(dev),
+            "note": "unstructured (scrambled) 2.1M rows; baseline: 15.4 s "
+                    "native host kernels on the same fixture class"}
+
+
 def _run_gate_cli(tag: str, yaml_path: str) -> dict:
     """Run ``python -m tpusolve <yaml>`` and parse iters/relres/timers —
     gates as *results* (ref lifecycle src/main.cpp:164-192)."""
@@ -305,8 +352,8 @@ def run_full(sol: float) -> int:
     results = []
     for case in (_case_bdia_unstructured, _case_bdia_xl,
                  _case_flagship_solve, _case_amg_setup,
-                 _case_device_setup_256, _case_gate3_file,
-                 _case_gate4_file):
+                 _case_device_setup_256, _case_ell_setup,
+                 _case_gate3_file, _case_gate4_file):
         try:
             r = (case(sol) if case in (_case_bdia_unstructured,
                                        _case_bdia_xl) else case())
