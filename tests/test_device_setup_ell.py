@@ -67,23 +67,26 @@ class TestHierarchyParity:
         cfg = BoomerAMGConfig(interp_type=3, max_coarse_size=64)
         Ah = scrambled_laplace(44)
         A, pre_dev, pre_host = _setup_pair(mesh1, Ah, cfg)
+        # with MIN_N=1 every level above max_coarse_size recurses on
+        # device (builder's generic-ELL recursion) — parity must hold at
+        # EVERY level, not just the fine one
+        assert any("recursed on device" in n for n in pre_dev.notes)
         ld, lh = pre_dev.levels, pre_host.levels
         assert len(ld) == len(lh)
-        for d, h in zip(ld, lh):
+        for lvl, (d, h) in enumerate(zip(ld, lh)):
             assert d.n == h.n
-        # identical C/F split and pattern; P equal to roundoff
-        P_d, P_h = _tosp(ld[0].P), _tosp(lh[0].P)
-        assert P_d.shape == P_h.shape
-        dP = abs(P_d - P_h)
-        assert (dP.max() if dP.nnz else 0.0) < 1e-12
-        # coarse operator equal to roundoff (different contraction order)
-        A1_d, A1_h = _tosp(ld[1].A), _tosp(lh[1].A)
-        d = abs(A1_d - A1_h)
-        assert (d.max() if d.nnz else 0.0) < 1e-10
-        # restriction is P^T (vs the device P it was built from)
-        R_d = _tosp(ld[0].R)
-        dR = abs(R_d - P_d.T.tocsr())
-        assert (dR.max() if dR.nnz else 0.0) == 0.0
+            if lvl > 0:
+                A_d, A_h = _tosp(d.A), _tosp(h.A)
+                dd = abs(A_d - A_h)
+                assert (dd.max() if dd.nnz else 0.0) < 1e-10
+            if d.P is not None:
+                P_d, P_h = _tosp(d.P), _tosp(h.P)
+                assert P_d.shape == P_h.shape
+                dP = abs(P_d - P_h)
+                assert (dP.max() if dP.nnz else 0.0) < 1e-11
+                # restriction is P^T (vs the device P it was built from)
+                dR = abs(_tosp(d.R) - P_d.T.tocsr())
+                assert (dR.max() if dR.nnz else 0.0) == 0.0
 
     def test_solve_convergence_matches(self, mesh1):
         from tpusolve.krylov.cg import pcg_setup

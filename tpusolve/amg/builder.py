@@ -274,6 +274,33 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
         n = Ah.shape[0]
         if n <= max_coarse or lvl == cfg.max_levels - 1:
             break
+        # device recursion (ROADMAP r3): coarse operators produced by the
+        # device paths are live ELL ShardedMatrix objects — keep running
+        # them through the generic-ELL device setup while they are big
+        # enough, instead of paying the host pipeline per coarse level
+        from tpusolve.amg import device_setup_ell
+        if device_setup_ell.eligible(A_sh, cfg, Ah):
+            if log_on:
+                print(f"  setup level {lvl} [device, generic ELL]: "
+                      f"n={n} nnz={Ah.nnz}", flush=True)
+            log = (lambda s: print(s, flush=True)) if log_on else None
+            res = device_setup_ell.device_level0_ell(
+                A_sh, cfg, A_host=Ah, seed=seed + lvl, log=log)
+            if res is not None:
+                if res["nc"] < min_coarse:
+                    break     # next grid would be below min_coarse_size
+                lev = _make_level_device(mesh, A_sh, res, kind_down,
+                                         kind_up, cfg)
+                levels.append(lev)
+                Ah = res["Ah_c"]
+                A_sh = res["Ac"]
+                note = ("coarse levels recursed on device (generic ELL "
+                        "setup)")
+                if note not in notes:
+                    notes.append(note)
+                continue
+            # res None: coarsening stalled on device — the host stages
+            # below reach the same conclusion and stop cleanly
         if log_on:
             print(f"  setup level {lvl}: n={n} nnz={Ah.nnz}", flush=True)
         _t[0] = time.perf_counter()

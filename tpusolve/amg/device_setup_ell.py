@@ -343,7 +343,10 @@ def _pack_transpose(key_s, rows_s, vals_s, nc, Kr):
     idx = jnp.arange(m, dtype=jnp.int32)
     start = key_s != jnp.concatenate(
         [jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
-    first = lax.associative_scan(jnp.maximum, jnp.where(start, idx, -1))
+    # lax.cummax, NOT associative_scan(maximum): the generic scan takes
+    # ~180 s to XLA-compile at 2M elements on TPU (measured); the native
+    # cumulative-max HLO compiles in seconds and runs in <1 ms
+    first = lax.cummax(jnp.where(start, idx, -1))
     rank = idx - first
     valid = key_s < jnp.int32(_I32_MAX)
     rr = jnp.where(valid, key_s, nc)
