@@ -137,9 +137,12 @@ class TestHierarchyParity:
         try:
             ok = BoomerAMGConfig(interp_type=3)
             assert device_setup_ell.eligible(A, ok, Ah)
-            # classical interpolation needs distance-2: host pipeline
-            assert not device_setup_ell.eligible(
+            # classical interpolation (distance-2): chunked device path
+            assert device_setup_ell.eligible(
                 A, BoomerAMGConfig(interp_type=0), Ah)
+            # extended+i stays on the host pipeline
+            assert not device_setup_ell.eligible(
+                A, BoomerAMGConfig(interp_type=6), Ah)
             # aggressive coarsening: host pipeline
             assert not device_setup_ell.eligible(
                 A, BoomerAMGConfig(interp_type=3, agg_num_levels=1), Ah)
@@ -152,6 +155,53 @@ class TestHierarchyParity:
             assert not device_setup_ell.eligible(A8, ok, None)
         finally:
             del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
+
+    def test_classical_interp_hierarchy(self, mesh1):
+        """interp_type 0 (classical modified, distance-2) on the device
+        path must reproduce the host hierarchy to roundoff at EVERY level
+        (the default interpolation — what the reference runs with no
+        interp_type key, src/HypreSystem.cpp:192-194)."""
+        cfg = BoomerAMGConfig(interp_type=0, max_coarse_size=64)
+        Ah = scrambled_laplace(44, seed=1)
+        A, pre_dev, pre_host = _setup_pair(mesh1, Ah, cfg)
+        assert any("recursed on device" in n for n in pre_dev.notes)
+        ld, lh = pre_dev.levels, pre_host.levels
+        assert len(ld) == len(lh)
+        for lvl, (d, h) in enumerate(zip(ld, lh)):
+            assert d.n == h.n
+            if lvl > 0:
+                dd = abs(_tosp(d.A) - _tosp(h.A))
+                assert (dd.max() if dd.nnz else 0.0) < 1e-10
+            if d.P is not None:
+                P_d, P_h = _tosp(d.P), _tosp(h.P)
+                assert P_d.shape == P_h.shape
+                dP = abs(P_d - P_h)
+                assert (dP.max() if dP.nnz else 0.0) < 1e-11
+                dR = abs(_tosp(d.R) - P_d.T.tocsr())
+                assert (dR.max() if dR.nnz else 0.0) == 0.0
+
+    def test_classical_interp_lump_and_sign_branches(self, mesh1):
+        """Classical interp's hat-entry sign filter and the d_ik == 0
+        diagonal lumping, on an operator with positive off-diagonals and
+        identity rows."""
+        Ah = scrambled_laplace(30, seed=13).tolil()
+        rng = np.random.default_rng(6)
+        for i in rng.integers(0, Ah.shape[0], size=10):
+            Ah.rows[i] = [int(i)]
+            Ah.data[i] = [1.0]
+        Ah = Ah.tocsr()
+        Ah = (Ah + sp.random(Ah.shape[0], Ah.shape[0], density=1e-3,
+                             random_state=3, data_rvs=lambda k: 0.15 *
+                             np.ones(k))).tocsr()
+        Ah = (Ah + Ah.T).tocsr() * 0.5
+        Ah.sort_indices()
+        cfg = BoomerAMGConfig(interp_type=0, max_coarse_size=32)
+        A, pre_dev, pre_host = _setup_pair(mesh1, Ah, cfg)
+        P_d, P_h = _tosp(pre_dev.levels[0].P), _tosp(pre_host.levels[0].P)
+        dP = abs(P_d - P_h)
+        assert (dP.max() if dP.nnz else 0.0) < 1e-12
+        d = abs(_tosp(pre_dev.levels[1].A) - _tosp(pre_host.levels[1].A))
+        assert (d.max() if d.nnz else 0.0) < 1e-10
 
     def test_dirichlet_rows_and_positive_offdiag(self, mesh1):
         """Rows with no strong neighbors (Dirichlet identity rows) and

@@ -217,7 +217,21 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
     levels: list[Level] = []
     A_sh = A
     Ah = None
+    Ah_fn = None       # deferred coarse-CSR fetch from the device paths
     lvl_start = 0
+
+    def _host_csr() -> sp.csr_matrix:
+        """Materialize the current level's host CSR, fetching the deferred
+        device coarse operator only when the host pipeline really needs
+        it (full device recursion never pays this transfer)."""
+        nonlocal Ah
+        if Ah is None:
+            tt = time.perf_counter()
+            Ah = Ah_fn().tocsr()
+            if log_on:
+                print(f"    setup: coarse CSR fetch (deferred) "
+                      f"{time.perf_counter() - tt:8.2f}s", flush=True)
+        return Ah
 
     # --- device fine-level setup (amg/device_setup.py): DIA operators run
     # strength/PMIS/interp/RAP on the TPU — the analog of the reference's
@@ -256,7 +270,7 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
         if res is not None and res["nc"] >= min_coarse:
             lev = _make_level_device(mesh, A, res, kind_down, kind_up, cfg)
             levels.append(lev)
-            Ah = res["Ah_c"]
+            Ah_fn = res["Ah_c_fn"]
             A_sh = res["Ac"]
             lvl_start = 1
             notes.append(dev_note)
@@ -266,12 +280,12 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
                              "device setup)")
         _t[0] = time.perf_counter()
 
-    if Ah is None:
+    if lvl_start == 0:
         Ah = (A_host if A_host is not None else A.to_scipy()).tocsr()
         Ah.sum_duplicates()
 
     for lvl in range(lvl_start, cfg.max_levels):
-        n = Ah.shape[0]
+        n = A_sh.shape[0]
         if n <= max_coarse or lvl == cfg.max_levels - 1:
             break
         # device recursion (ROADMAP r3): coarse operators produced by the
@@ -282,7 +296,7 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
         if device_setup_ell.eligible(A_sh, cfg, Ah):
             if log_on:
                 print(f"  setup level {lvl} [device, generic ELL]: "
-                      f"n={n} nnz={Ah.nnz}", flush=True)
+                      f"n={n} nnz={A_sh.nnz}", flush=True)
             log = (lambda s: print(s, flush=True)) if log_on else None
             res = device_setup_ell.device_level0_ell(
                 A_sh, cfg, A_host=Ah, seed=seed + lvl, log=log)
@@ -292,7 +306,8 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
                 lev = _make_level_device(mesh, A_sh, res, kind_down,
                                          kind_up, cfg)
                 levels.append(lev)
-                Ah = res["Ah_c"]
+                Ah = None
+                Ah_fn = res["Ah_c_fn"]
                 A_sh = res["Ac"]
                 note = ("coarse levels recursed on device (generic ELL "
                         "setup)")
@@ -301,6 +316,7 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
                 continue
             # res None: coarsening stalled on device — the host stages
             # below reach the same conclusion and stop cleanly
+        Ah = _host_csr()
         if log_on:
             print(f"  setup level {lvl}: n={n} nnz={Ah.nnz}", flush=True)
         _t[0] = time.perf_counter()
@@ -371,7 +387,9 @@ def boomeramg_setup(A: ShardedMatrix, config: BoomerAMGConfig | None = None,
         A_sh = _sharded_from_scipy(mesh, Ah, dtype)
         _phase("coarse A device assembly")
 
-    # coarsest level: dense (pseudo)inverse or relaxation sweeps
+    # coarsest level: dense (pseudo)inverse or relaxation sweeps (needs
+    # the host CSR — small by now, so a deferred fetch is cheap)
+    Ah = _host_csr()
     kind_coarse, coarse_sweeps = _guard_coarse(kind_coarse, Ah.shape[0],
                                                cfg, notes)
     lev = _make_level(mesh, A_sh, Ah, dtype, kind_down, kind_up, cfg,

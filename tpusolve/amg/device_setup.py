@@ -158,17 +158,51 @@ def _strength_planes(Av, comps, diag_slot, theta):
     return jnp.stack(S)
 
 
-def _pmis_split(Sm, comps, w, max_rounds):
-    """PMIS C/F split on device, mirroring coarsen.pmis: w carries the
-    host-generated tie-break randoms so both paths select identical sets."""
+def pmis_rank(seed: int, n: int, n_pad: int) -> np.ndarray:
+    """int32 rank of the host PMIS tie-break randoms (coarsen.pmis draws
+    ``default_rng(seed).random(n)`` as its first sample).
+
+    The device PMIS loops compare the measure as an EXACT integer key
+    ``influence * 2^ceil(log2 n_pad) + rank + 1`` — the same lexicographic
+    (integer influence, f64 rand) order as the host.  A float32
+    ``influence + rand`` measure deadlocks at scale: with millions of rows
+    the 24-bit mantissa guarantees colliding weights, equal G-adjacent
+    weights can never become C or F, and the loop burns all max_rounds
+    (at ELL sizes that trips the remote-TPU watchdog; on DIA lattices it
+    silently mislabels the deadlocked pairs as C).  Padding rows carry
+    rank 0 (they are initialized F and inert)."""
+    rng = np.random.default_rng(seed)
+    r = rng.random(n)
+    order = np.argsort(r, kind="stable")
+    rank = np.zeros(n_pad, np.int32)
+    rank[order] = np.arange(n, dtype=np.int32)
+    return rank
+
+
+def _pmis_keys(infl, rank, n2=None):
+    """uint32 PMIS priority keys from the (integer-valued) influence and
+    the host-rand ranks; 0 is the inactive sentinel, live keys are >= 1.
+    ``n2`` is the power-of-two bound on the GLOBAL rank space (defaults to
+    the local array size — pass it explicitly under shard_map)."""
+    if n2 is None:
+        n2 = 1 << max(int(rank.size - 1).bit_length(), 1)
+    cap = (2**32 - 1) // n2 - 2
+    infl_i = jnp.minimum(infl.astype(jnp.int32), cap).astype(jnp.uint32)
+    return infl_i * jnp.uint32(n2) + rank.astype(jnp.uint32) + jnp.uint32(1)
+
+
+def _pmis_split(Sm, comps, rank, max_rounds):
+    """PMIS C/F split on device, mirroring coarsen.pmis: ``rank`` carries
+    the host tie-break rand RANKS so both paths select identical sets
+    (see pmis_rank for why the comparison is exact-integer)."""
     D = len(comps)
-    # influence (column sums of S) — the measure's integer part is already
-    # inside w; recompute only for the isolated-point init
     infl = None
     for d in range(D):
         t = _shift(Sm[d], _comps_neg(comps[d]))
         infl = t if infl is None else infl + t
     state0 = jnp.where(infl == 0, F_PT, UNDECIDED).astype(jnp.int32)
+    w = _pmis_keys(infl, rank)
+    DEAD = jnp.uint32(0)                 # zero-fill of _shift is inert
 
     # symmetric adjacency: G[d] = S[d] or S^T at the same offset
     rev = {tuple(c): i for i, c in enumerate(comps)}
@@ -184,14 +218,14 @@ def _pmis_split(Sm, comps, w, max_rounds):
     def body(carry):
         state, it = carry
         active = state == UNDECIDED
-        wa = jnp.where(active, w, -1.0)
-        nbrmax = jnp.full_like(w, -1.0)
+        wa = jnp.where(active, w, DEAD)
+        nbrmax = jnp.full_like(w, DEAD)
         for d in range(D):
             moved = _shift(wa, comps[d])
-            nbrmax = jnp.maximum(nbrmax, jnp.where(G[d] > 0, moved, -1.0))
+            nbrmax = jnp.maximum(nbrmax, jnp.where(G[d] > 0, moved, DEAD))
         newC = active & (wa > nbrmax)
-        newCf = newC.astype(w.dtype)
-        hitC = jnp.zeros_like(w)
+        newCf = newC.astype(Sm.dtype)
+        hitC = jnp.zeros_like(newCf)
         for d in range(D):
             hitC = hitC + Sm[d] * _shift(newCf, comps[d])
         state = jnp.where(newC, C_PT, state)
@@ -676,24 +710,19 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
 
     Av = A.dia_vals.reshape((len(offsets),) + dims)
 
-    # --- strength + PMIS ---
+    # --- strength + PMIS (exact-integer tie-break keys, see pmis_rank) ---
     theta = float(cfg.strong_threshold)
-    rng = np.random.default_rng(seed)
 
     @jax.jit
-    def stage1(Av, rand):
+    def stage1(Av, rank):
         Sm = _strength_planes(Av, comps, diag_slot, theta)
-        infl = jnp.zeros_like(Av[0])
-        for d in range(len(comps)):
-            infl = infl + _shift(Sm[d], _comps_neg(comps[d]))
-        w = infl + rand
         max_rounds = 10 * int(np.ceil(np.log2(n + 2))) + 20
-        state = _pmis_split(Sm, comps, w, max_rounds)
+        state = _pmis_split(Sm, comps, rank, max_rounds)
         Cmask = (state == C_PT).astype(Av.dtype).reshape(dims)
         return Sm, Cmask
 
-    rand = jnp.asarray(rng.random(n).reshape(dims).astype(dt))
-    Sm, Cmask = stage1(Av, rand)
+    rank = jnp.asarray(pmis_rank(seed, n, n).reshape(dims))
+    Sm, Cmask = stage1(Av, rank)
     nc = int(jnp.sum(Cmask))
     t0 = _phase("strength+PMIS")
     if nc == 0 or nc >= n:
@@ -854,26 +883,29 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
     del R_v, R_c
     t0 = _phase("P/R compaction")
 
-    # --- compact coarse CSR to host (feeds the remaining host levels) ---
-    ell_v_h = np.asarray(ell_v)
-    ell_c_h = np.asarray(ell_c)
-    mask = ell_v_h != 0
-    counts_h = mask.sum(axis=1)
-    indptr = np.zeros(nc + 1, np.int64)
-    np.cumsum(counts_h, out=indptr[1:])
-    data = ell_v_h[mask].astype(np.float64)
-    indices = ell_c_h[mask].astype(np.int64)
-    Ah_c = sp.csr_matrix((data, indices, indptr), shape=(nc, nc))
-    # ELL slot order is dc-plane order, not column order: sort so the
-    # native setup kernels (which require sorted indices) accept the
-    # coarse level — unsorted, the whole host continuation falls back to
-    # numpy (measured 100 s vs ~4 s for level-1 interpolation at 256^3)
-    Ah_c.sort_indices()
-    t0 = _phase("coarse CSR fetch")
+    # --- coarse CSR fetch is DEFERRED: if the next level recurses on
+    # device (builder.py generic-ELL recursion) the device->host transfer
+    # (hundreds of MB over a remote-tunnel link) is never paid ---
+    def _fetch_coarse_csr():
+        ell_v_h = np.asarray(ell_v)
+        ell_c_h = np.asarray(ell_c)
+        mask = ell_v_h != 0
+        counts_h = mask.sum(axis=1)
+        indptr = np.zeros(nc + 1, np.int64)
+        np.cumsum(counts_h, out=indptr[1:])
+        data = ell_v_h[mask].astype(np.float64)
+        indices = ell_c_h[mask].astype(np.int64)
+        Ah_c = sp.csr_matrix((data, indices, indptr), shape=(nc, nc))
+        # ELL slot order is dc-plane order, not column order: sort so the
+        # native setup kernels (which require sorted indices) accept the
+        # coarse level — unsorted, the whole host continuation falls back
+        # to numpy (measured 100 s vs ~4 s for level-1 interp at 256^3)
+        Ah_c.sort_indices()
+        return Ah_c
 
     return dict(Cmask=Cmask.reshape(-1), nc=nc, P=P_sh, R=R_sh,
-                Ac=Ac_sh, Ah_c=Ah_c, dinv=dinv, dinv_l1=dinv_l1,
-                coarse_row_offsets=row_off_c)
+                Ac=Ac_sh, Ah_c_fn=_fetch_coarse_csr, dinv=dinv,
+                dinv_l1=dinv_l1, coarse_row_offsets=row_off_c)
 
 
 def power_lambda(A: ShardedMatrix, dinv, iters: int = 20,

@@ -24,11 +24,10 @@ amg/coarsen.py:pmis, amg/interp.py:direct_interpolation, amg/galerkin.py)
 with the same seeded tie-break randoms, so host and device hierarchies
 agree to roundoff — tested in tests/test_device_setup_ell.py.
 
-Eligibility (phase 1): single-part square operators, ``interp_type: 3``
-(direct — distance-1, row-local), PMIS-family coarsening, and the shared
-``config_eligible`` gates.  Classical-modified interpolation needs
-distance-2 row intersections (a gather of neighbor rows matched against
-the row's own C-set) and stays on the host pipeline for now.
+Eligibility: single-part square operators, PMIS-family coarsening,
+``interp_type`` 3 (direct — distance-1, row-local) or 0 (classical
+modified — distance-2 via chunked neighbor-row gathers matched against
+the row's strong-C set), and the shared ``config_eligible`` gates.
 """
 
 from __future__ import annotations
@@ -50,8 +49,11 @@ from tpusolve.amg.device_setup import (config_eligible, _ell_sharded,
 # kernels are already fast and keep full config coverage)
 MIN_DEVICE_N = 1 << 18
 # ELL width guard: (n, K) planes with K beyond this indicate a dense-ish
-# row profile the expansion products would blow up on
-MAX_ELL_K = 64
+# row profile the expansion products would blow up on.  128 admits the
+# coarse operators of 3-D stencil hierarchies (K=80 one level below a
+# 27-point fine grid) — the expand/sort products stay memory-bounded by
+# row-chunking, so width only shrinks the chunk, not the budget.
+MAX_ELL_K = 128
 
 
 def eligible(A: ShardedMatrix, cfg, A_host=None) -> bool:
@@ -81,9 +83,9 @@ def eligible(A: ShardedMatrix, cfg, A_host=None) -> bool:
             return False
     if not config_eligible(cfg):
         return False
-    # phase 1: direct interpolation only (distance-1, row-local); classical
-    # (0) needs distance-2 row intersections — host pipeline keeps it
-    return cfg.interp_type == 3
+    # direct (3) is row-local; classical (0) runs the chunked distance-2
+    # formulation (_interp_classical_ell)
+    return cfg.interp_type in (0, 3)
 
 
 # ----------------------------------------------------------------------
@@ -112,11 +114,11 @@ def _stage_ell(A: ShardedMatrix, A_host):
 # ----------------------------------------------------------------------
 # stage 1: strength + PMIS
 
-@partial(jax.jit, static_argnames=("n", "theta", "max_rounds"))
-def _stage1_jit(vals, cols, rand, n, theta, max_rounds):
-    """Strength + PMIS on the ELL slots, mirroring
-    strength.classical_strength + coarsen.pmis.  Returns (S mask
-    (n_pad, K), state (n_pad,) int32 1=C/0=F, diag (n_pad,))."""
+@partial(jax.jit, static_argnames=("n", "theta"))
+def _strength_jit(vals, cols, n, theta):
+    """Strength mask on the ELL slots, mirroring
+    strength.classical_strength.  Returns (S (n_pad, K) bool, diag,
+    max strong count per row)."""
     n_pad, K = vals.shape
     rows = jnp.arange(n_pad, dtype=jnp.int32)[:, None]
     offd = cols != rows
@@ -130,12 +132,55 @@ def _stage1_jit(vals, cols, rand, n, theta, max_rounds):
     S = (cand >= theta * rowmax[:, None]) & (cand > 0)   # (n_pad, K)
     valid_row = rows[:, 0] < n
     S = S & valid_row[:, None]
+    return S, diag, jnp.max(jnp.sum(S, axis=1))
+
+
+@partial(jax.jit, static_argnames=("n", "max_rounds", "Ks"))
+def _pmis_jit(S, cols, rank, n, max_rounds, Ks):
+    """PMIS on the strength mask, mirroring coarsen.pmis.  Returns the
+    state vector (n_pad,) int32 1=C/0=F.
+
+    ``rank`` is the int32 rank of the host tie-break randoms
+    (coarsen.pmis ``rng.random(n)``): the PMIS measure is compared as an
+    EXACT uint32 key ``influence * 2^ceil(log2 n_pad) + rank + 1`` — the
+    same lexicographic (integer influence, f64 rand) order the host uses.
+    A float32 ``influence + rand`` measure deadlocks at scale: the 24-bit
+    mantissa guarantees colliding weights among millions of rows, equal
+    G-adjacent weights can never become C or F, and the loop runs all
+    max_rounds (observed: ~83 s at 2.1M rows, tripping the remote-TPU
+    long-execution watchdog and crashing the worker).
+
+    The loop's gathers/scatters run on the strong slots compacted to
+    width ``Ks`` (max strong count, usually well under the ELL K): the
+    rounds are gather-bound (~9 ns/element on TPU), so slot compaction
+    cuts their cost by K/Ks."""
+    n_pad, K = S.shape
+    rows1 = jnp.arange(n_pad, dtype=jnp.int32)
+    valid_row = rows1 < n
+
+    # compact strong cols to (n_pad, Ks); dead slots target the last
+    # padding row (inert: padding rows are F and their key is DEAD)
+    def pack(k, carry):
+        sc, cur = carry
+        mk = S[:, k]
+        slot = jnp.where(mk, cur, Ks)
+        sc = sc.at[rows1, slot].set(cols[:, k], mode="drop")
+        return sc, cur + mk.astype(jnp.int32)
+
+    scols = jnp.full((n_pad, Ks), n_pad - 1, jnp.int32)
+    scols, scount = lax.fori_loop(0, K, pack,
+                                  (scols, jnp.zeros(n_pad, jnp.int32)))
+    Smk = jnp.arange(Ks, dtype=jnp.int32)[None, :] < scount[:, None]
+    scols = jnp.where(Smk, scols, n_pad - 1)
 
     # influence[j] = |{i : S[i, j]}| (column counts of S)
-    cols_safe = jnp.where(S, cols, n_pad - 1)    # scatter target under S
-    influence = jnp.zeros((n_pad,), vals.dtype).at[cols_safe].add(
-        jnp.where(S, 1.0, 0.0).astype(vals.dtype))
-    w = influence + rand
+    influence = jnp.zeros((n_pad,), jnp.int32).at[scols].add(
+        jnp.where(Smk, 1, 0).astype(jnp.int32))
+    n_pad2 = 1 << max(int(n_pad - 1).bit_length(), 1)
+    cap = (2**32 - 1) // n_pad2 - 2
+    w = (jnp.minimum(influence, cap).astype(jnp.uint32)
+         * jnp.uint32(n_pad2) + rank.astype(jnp.uint32) + jnp.uint32(1))
+    DEAD = jnp.uint32(0)                         # below every live key
 
     UND, C, F = jnp.int32(-1), jnp.int32(1), jnp.int32(0)
     state0 = jnp.where(influence == 0, F, UND)
@@ -145,18 +190,18 @@ def _stage1_jit(vals, cols, rand, n, theta, max_rounds):
     def body(carry):
         state, rem, it = carry
         active = state == UND
-        wa = jnp.where(active, w, -1.0)
+        wa = jnp.where(active, w, DEAD)
         # G = S ∪ S^T neighbor max of wa:
         #   S rows: gather wa at this row's strong cols
-        m_row = jnp.max(jnp.where(S, wa[cols_safe], -1.0), axis=1)
+        m_row = jnp.max(jnp.where(Smk, wa[scols], DEAD), axis=1)
         #   S^T rows: scatter-max wa[i] into each strong col of row i
-        m_colT = jnp.full((n_pad,), -1.0, wa.dtype).at[cols_safe].max(
-            jnp.where(S, wa[:, None], -1.0))
+        m_colT = jnp.full((n_pad,), DEAD, jnp.uint32).at[scols].max(
+            jnp.where(Smk, wa[:, None], DEAD))
         nbrmax = jnp.maximum(m_row, m_colT)
         newC = active & (wa > nbrmax)
         state = jnp.where(newC, C, state)
         # i -> F if some strong col j of i is new C
-        hit = jnp.any(S & newC[cols_safe], axis=1)
+        hit = jnp.any(Smk & newC[scols], axis=1)
         state = jnp.where(active & ~newC & hit, F, state)
         rem = jnp.sum(state == UND)
         return state, rem, it + 1
@@ -168,6 +213,14 @@ def _stage1_jit(vals, cols, rand, n, theta, max_rounds):
     state, _, _ = lax.while_loop(cond, body, (state0, rem0, jnp.int32(0)))
     state = jnp.where(state == UND, C, state)       # leftovers -> C
     state = jnp.where(valid_row, state, jnp.int32(0))
+    return state
+
+
+def _stage1(vals, cols, rank, n, theta, max_rounds):
+    """strength -> (static Ks sync) -> PMIS; see _strength_jit/_pmis_jit."""
+    S, diag, ks32 = _strength_jit(vals, cols, n=n, theta=theta)
+    Ks = max(1, int(ks32))
+    state = _pmis_jit(S, cols, rank, n=n, max_rounds=max_rounds, Ks=Ks)
     return S, state, diag
 
 
@@ -220,6 +273,168 @@ def _interp_direct_jit(vals, cols, S, Cmask, cmap, diag, Kp):
     oc = oc.at[:, 0].set(jnp.where(is_C, cmap, oc[:, 0]))
     nnz_p = jnp.sum(cur) + jnp.sum(is_C)
     return ov, oc, nnz_p
+
+
+# ----------------------------------------------------------------------
+# stage 2b: classical-modified interpolation (interp_type 0), distance-2
+#
+# Mirrors interp.classical_interpolation exactly (same masks, same lump/
+# hat-entry semantics).  For F-point i with strong C-set C_i, strong F-set
+# F_i and weak set W_i:
+#
+#     P_ij = -( a_ij + sum_{k in F_i} a_ik * hat_a_kj / d_ik ) / tilde_a_ii
+#     d_ik = sum_{m in C_i} hat_a_km        (hat: sign opposite to a_kk)
+#     tilde_a_ii = a_ii + sum_{k in W_i} a_ik  (+ a_ik where d_ik = 0)
+#
+# The distance-2 term gathers each strong-F neighbor's ELL row and matches
+# its columns against the row's compacted strong-C set — row-chunked so the
+# (chunk, K, Kc) match tensor stays in a bounded HBM footprint.
+
+
+@partial(jax.jit, static_argnames=("Ksel", "fillcol"))
+def _pack_sel_jit(vals, cols, mask, Ksel, fillcol):
+    """Cursor-pack masked slots of an (n, K) ELL into (n, Ksel); dead
+    slots carry val 0 / col ``fillcol``.  Returns (vals, cols, counts)."""
+    n_pad, K = vals.shape
+    rows = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def body(k, carry):
+        ov, oc, cur = carry
+        mk = mask[:, k]
+        slot = jnp.where(mk, cur, Ksel)
+        ov = ov.at[rows, slot].set(vals[:, k], mode="drop")
+        oc = oc.at[rows, slot].set(cols[:, k], mode="drop")
+        return ov, oc, cur + mk.astype(jnp.int32)
+
+    ov = jnp.zeros((n_pad, Ksel), vals.dtype)
+    oc = jnp.full((n_pad, Ksel), fillcol, jnp.int32)
+    cur = jnp.zeros((n_pad,), jnp.int32)
+    ov, oc, cur = lax.fori_loop(0, K, body, (ov, oc, cur))
+    return ov, oc, cur
+
+
+@jax.jit
+def _classical_masks_jit(vals, cols, S, Cmask):
+    """strongC/strongF slot masks, the weak off-diagonal row sums, and the
+    max strong-C / strong-F widths (to size the compacted packs)."""
+    n_pad, K = vals.shape
+    rows = jnp.arange(n_pad, dtype=jnp.int32)[:, None]
+    offd = cols != rows
+    isC = Cmask > 0
+    isC_col = isC[cols]                     # (n_pad, K) bool gather
+    strongC = S & isC_col
+    strongF = S & ~isC_col
+    weaksum = jnp.sum(jnp.where(offd & ~S, vals, 0.0), axis=1)
+    kc = jnp.max(jnp.sum(strongC, axis=1))
+    kf = jnp.max(jnp.sum(strongF, axis=1))
+    return strongC, strongF, weaksum, kc, kf
+
+
+@partial(jax.jit, static_argnames=("KF",), donate_argnums=())
+def _classical_chunk_jit(fv, fc, scv, scc, ccnt, diag_row, weaksum_c,
+                         vals, cols, diag, KF):
+    """One row chunk of the classical weights: returns w (C, Kc) over the
+    compacted strong-C slots (zero where masked/dead)."""
+    C_, Kc = scv.shape
+    scm = jnp.arange(Kc, dtype=jnp.int32)[None, :] < ccnt[:, None]
+    scc_m = jnp.where(scm, scc, -1)         # -1: never matches a column
+
+    def body(t, carry):
+        T, dlump = carry
+        k = fc[:, t]                        # strong-F neighbor rows
+        bv = vals[k]                        # (C, K) row gathers
+        bc = cols[k]
+        # hat entries of row k: sign opposite to k's own diagonal
+        hv = jnp.where(bv * diag[k][:, None] < 0, bv, 0.0)
+        eq = bc[:, :, None] == scc_m[:, None, :]        # (C, K, Kc)
+        member = jnp.any(eq, axis=2)
+        d = jnp.sum(jnp.where(member, hv, 0.0), axis=1)
+        fvt = fv[:, t]                      # a_ik (0 on dead slots)
+        W = jnp.where(d != 0, fvt / jnp.where(d != 0, d, 1.0), 0.0)
+        dlump = dlump + jnp.where(d == 0, fvt, 0.0)
+        T = T + jnp.einsum("cu,cus->cs", W[:, None] * hv,
+                           eq.astype(hv.dtype))
+        return T, dlump
+
+    T0 = jnp.zeros((C_, Kc), vals.dtype)
+    T, dlump = lax.fori_loop(0, KF, body,
+                             (T0, jnp.zeros((C_,), vals.dtype)))
+    dii = diag_row + weaksum_c + dlump
+    dii = jnp.where(dii != 0, dii, 1.0)
+    w = jnp.where(scm, -(scv + T) / dii[:, None], 0.0)
+    return w
+
+
+@partial(jax.jit, static_argnames=("Kp",))
+def _pack_p_from_w_jit(w, pcol, Cmask, cmap, Kp):
+    """(w, pcol) (n_pad, Kc) weight planes -> P as (n_pad, Kp) ELL; F rows
+    keep nonzero weights (host P runs eliminate_zeros), C rows identity."""
+    n_pad, Kc = w.shape
+    rows = jnp.arange(n_pad, dtype=jnp.int32)
+    is_C = Cmask > 0
+    keep = (w != 0) & ~is_C[:, None]
+
+    def body(k, carry):
+        ov, oc, cur = carry
+        kk = keep[:, k]
+        slot = jnp.where(kk, cur, Kp)
+        ov = ov.at[rows, slot].set(w[:, k], mode="drop")
+        oc = oc.at[rows, slot].set(pcol[:, k], mode="drop")
+        return ov, oc, cur + kk.astype(jnp.int32)
+
+    ov = jnp.zeros((n_pad, Kp), w.dtype)
+    oc = jnp.zeros((n_pad, Kp), jnp.int32)
+    cur = jnp.zeros((n_pad,), jnp.int32)
+    ov, oc, cur = lax.fori_loop(0, Kc, body, (ov, oc, cur))
+    ov = ov.at[:, 0].set(jnp.where(is_C, 1.0, ov[:, 0]))
+    oc = oc.at[:, 0].set(jnp.where(is_C, cmap, oc[:, 0]))
+    nnz_p = jnp.sum(cur) + jnp.sum(is_C)
+    return ov, oc, nnz_p
+
+
+def _interp_classical_ell(vals, cols, S, Cmask, cmap, diag, log=None):
+    """Classical-modified interpolation, chunked.  Returns
+    (Pv, Pc, nnz_p) in the same ELL layout as _interp_direct_jit."""
+    n_pad, K = (int(s) for s in vals.shape)
+    strongC, strongF, weaksum, kc32, kf32 = _classical_masks_jit(
+        vals, cols, S, Cmask)
+    Kc = max(1, int(kc32))
+    KF = max(1, int(kf32))
+    scv, scc, ccnt = _pack_sel_jit(vals, cols, strongC, Ksel=Kc, fillcol=0)
+    fv, fc, _ = _pack_sel_jit(vals, cols, strongF, Ksel=KF, fillcol=0)
+    del strongC, strongF
+
+    # chunk so the (C, K, Kc) match tensor (bool + one f32 temp) stays
+    # within a fixed budget
+    itemsize = np.dtype(vals.dtype).itemsize
+    budget = 1 << 28                                     # ~256 MB
+    chunk = max(256, min(n_pad, budget // max(K * Kc * (1 + itemsize), 1)))
+    chunk = _round_up(chunk, 256)
+    nch = (n_pad + chunk - 1) // chunk
+
+    def _pad_rows(a):
+        want = nch * chunk
+        return a if a.shape[0] == want else jnp.pad(
+            a, ((0, want - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
+
+    fv_p, fc_p = _pad_rows(fv), _pad_rows(fc)
+    scv_p, scc_p, ccnt_p = _pad_rows(scv), _pad_rows(scc), _pad_rows(ccnt)
+    diag_p, weak_p = _pad_rows(diag), _pad_rows(weaksum)
+    if log is not None:
+        log(f"      classical interp: KF={KF} Kc={Kc} chunks={nch}")
+    ws = []
+    for c in range(nch):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        ws.append(_classical_chunk_jit(
+            fv_p[sl], fc_p[sl], scv_p[sl], scc_p[sl], ccnt_p[sl],
+            diag_p[sl], weak_p[sl], vals, cols, diag, KF=KF))
+    w = jnp.concatenate(ws)[:n_pad]
+    del ws, fv_p, fc_p, scv_p, scc_p, ccnt_p
+
+    pcol = cmap[jnp.where(scc >= 0, scc, 0)]
+    pw = int(jnp.max(jnp.sum(w != 0, axis=1)))
+    Kp = max(8, _round_up(max(pw, 1), 8))
+    return _pack_p_from_w_jit(w, pcol, Cmask, cmap, Kp=Kp)
 
 
 # ----------------------------------------------------------------------
@@ -385,28 +600,32 @@ def device_level0_ell(A: ShardedMatrix, cfg, *, A_host=None,
         return None
     t0 = _phase("ELL staging")
 
-    # --- strength + PMIS (host-identical tie-break randoms) ---
+    # --- strength + PMIS (host-identical tie-break order, exact int
+    # ranks — see _stage1_jit docstring) ---
     theta = float(cfg.strong_threshold)
-    rng = np.random.default_rng(seed)
-    rand = np.zeros(n_pad, np.dtype(dt))
-    rand[:n] = rng.random(n).astype(np.dtype(dt))
+    from tpusolve.amg.device_setup import pmis_rank
+    rank = pmis_rank(seed, n, n_pad)
     max_rounds = 10 * int(np.ceil(np.log2(n + 2))) + 20
-    S, state, diag = _stage1_jit(vals, cols, jnp.asarray(rand), n=n,
-                                 theta=theta, max_rounds=max_rounds)
+    S, state, diag = _stage1(vals, cols, jnp.asarray(rank), n=n,
+                             theta=theta, max_rounds=max_rounds)
     Cmask = (state == 1).astype(dt)
     nc = int(jnp.sum(Cmask))
     t0 = _phase("strength+PMIS")
     if nc == 0 or nc >= n:
         return None
 
-    # --- direct interpolation ---
+    # --- interpolation (direct: row-local; classical: distance-2) ---
     cmap = jnp.cumsum(state == 1).astype(jnp.int32) - 1
-    pw = int(jnp.max(jnp.sum(
-        S & (Cmask[jnp.where(S, cols, 0)] > 0) & (Cmask[:, None] == 0),
-        axis=1)))
-    Kp = max(8, _round_up(max(pw, 1), 8))
-    Pv, Pc, nnz_p32 = _interp_direct_jit(vals, cols, S, Cmask, cmap, diag,
-                                         Kp=Kp)
+    if cfg.interp_type == 0:
+        Pv, Pc, nnz_p32 = _interp_classical_ell(vals, cols, S, Cmask,
+                                                cmap, diag, log=log)
+    else:
+        pw = int(jnp.max(jnp.sum(
+            S & (Cmask[jnp.where(S, cols, 0)] > 0) & (Cmask[:, None] == 0),
+            axis=1)))
+        Kp = max(8, _round_up(max(pw, 1), 8))
+        Pv, Pc, nnz_p32 = _interp_direct_jit(vals, cols, S, Cmask, cmap,
+                                             diag, Kp=Kp)
     nnz_p = int(nnz_p32)
     del S
 
@@ -457,22 +676,26 @@ def device_level0_ell(A: ShardedMatrix, cfg, *, A_host=None,
     del Pv, Pc, Rv, Rc
     t0 = _phase("P/R/Ac wrap")
 
-    # --- compact coarse CSR to host (feeds the remaining host levels) ---
-    ell_v_h = np.asarray(Acv)
-    ell_c_h = np.asarray(Acc)
-    mask = ell_v_h != 0
-    counts_h = mask.sum(axis=1)
-    indptr = np.zeros(nc + 1, np.int64)
-    np.cumsum(counts_h, out=indptr[1:])
-    Ah_c = sp.csr_matrix((ell_v_h[mask].astype(np.float64),
-                          ell_c_h[mask].astype(np.int64), indptr),
-                         shape=(nc, nc))
-    # runs are emitted in ascending column order, but the raw constructor
-    # leaves has_sorted_indices unset — assert it so the native setup
-    # kernels accept the coarse level without a numpy fallback
-    Ah_c.sort_indices()
-    t0 = _phase("coarse CSR fetch")
+    # --- coarse CSR fetch is DEFERRED: full device recursion (builder.py)
+    # never pays the device->host transfer; the closure runs only if the
+    # caller actually drops to the host pipeline ---
+    def _fetch_coarse_csr():
+        ell_v_h = np.asarray(Acv)
+        ell_c_h = np.asarray(Acc)
+        mask = ell_v_h != 0
+        counts_h = mask.sum(axis=1)
+        indptr = np.zeros(nc + 1, np.int64)
+        np.cumsum(counts_h, out=indptr[1:])
+        Ah_c = sp.csr_matrix((ell_v_h[mask].astype(np.float64),
+                              ell_c_h[mask].astype(np.int64), indptr),
+                             shape=(nc, nc))
+        # runs are emitted in ascending column order, but the raw
+        # constructor leaves has_sorted_indices unset — assert it so the
+        # native setup kernels accept the coarse level without a numpy
+        # fallback
+        Ah_c.sort_indices()
+        return Ah_c
 
-    return dict(Cmask=Cmask, nc=nc, P=P_sh, R=R_sh, Ac=Ac_sh, Ah_c=Ah_c,
-                dinv=dinv, dinv_l1=dinv_l1,
+    return dict(Cmask=Cmask, nc=nc, P=P_sh, R=R_sh, Ac=Ac_sh,
+                Ah_c_fn=_fetch_coarse_csr, dinv=dinv, dinv_l1=dinv_l1,
                 coarse_row_offsets=np.array([0, nc], np.int64))

@@ -170,19 +170,24 @@ def eligible(A: ShardedMatrix, cfg, lattice) -> bool:
 # ----------------------------------------------------------------------
 # stage 1: strength + PMIS (one shard_map; per-round halo refresh)
 
-def _stage1_sharded(mesh, axis, pgrid, comps, diag_slot, theta, max_rounds):
+def _stage1_sharded(mesh, axis, pgrid, comps, diag_slot, theta, max_rounds,
+                    n2):
+    """``n2``: power-of-two bound on the global rank space (the tie-break
+    is an exact uint32 key — see device_setup.pmis_rank)."""
     perms = _perms(pgrid)
     D = len(comps)
 
-    def block(Lb, randb):
+    def block(Lb, rankb):
         Av = Lb[0]
-        rnd = randb[0]
+        rank = rankb[0]
         Sm = _strength_planes(Av, comps, diag_slot, theta)
         Sm_h = _halo3_block(Sm, 1, axis, perms)
         infl = jnp.zeros_like(Av[0])
         for d in range(D):
             infl = infl + _shift_h(Sm_h[d], _comps_neg(comps[d]), 1)
-        w = infl + rnd
+        from tpusolve.amg.device_setup import _pmis_keys
+        w = _pmis_keys(infl, rank, n2)
+        DEAD = jnp.uint32(0)             # halo/shift zero-fill is inert
 
         rev = {tuple(c): i for i, c in enumerate(comps)}
         G = []
@@ -200,16 +205,16 @@ def _stage1_sharded(mesh, axis, pgrid, comps, diag_slot, theta, max_rounds):
         def body(carry):
             state, rem, it = carry
             active = state == UNDECIDED
-            wa = jnp.where(active, w, -1.0)
+            wa = jnp.where(active, w, DEAD)
             wa_h = _halo3_block(wa, 1, axis, perms)
-            nbrmax = jnp.full_like(w, -1.0)
+            nbrmax = jnp.full_like(w, DEAD)
             for d in range(D):
                 moved = _shift_h(wa_h, comps[d], 1)
                 nbrmax = jnp.maximum(nbrmax,
-                                     jnp.where(G[d] > 0, moved, -1.0))
+                                     jnp.where(G[d] > 0, moved, DEAD))
             newC = active & (wa > nbrmax)
-            newCf_h = _halo3_block(newC.astype(w.dtype), 1, axis, perms)
-            hitC = jnp.zeros_like(w)
+            newCf_h = _halo3_block(newC.astype(Av.dtype), 1, axis, perms)
+            hitC = jnp.zeros_like(Av[0])
             for d in range(D):
                 hitC = hitC + Sm[d] * _shift_h(newCf_h, comps[d], 1)
             state = jnp.where(newC, C_PT, state)
@@ -382,16 +387,18 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
         L = L.astype(A.dtype)    # precision policy: follow the solve dtype
     dt = L.dtype
 
-    # --- strength + PMIS ---
+    # --- strength + PMIS (exact-integer tie-break keys, see
+    # device_setup.pmis_rank) ---
     theta = float(cfg.strong_threshold)
-    rng = np.random.default_rng(seed)
-    rand = rng.random(n).reshape((P_,) + dims).astype(dt)
+    from tpusolve.amg.device_setup import pmis_rank
+    rank = pmis_rank(seed, n, n).reshape((P_,) + dims)
     from tpusolve.mesh import put_sharded
-    rand = put_sharded(rand, mesh, P(axis))
+    rank = put_sharded(rank, mesh, P(axis))
     max_rounds = 10 * int(np.ceil(np.log2(n + 2))) + 20
+    n2 = 1 << max(int(n - 1).bit_length(), 1)
     stage1 = _stage1_sharded(mesh, axis, pgrid, comps, diag_slot, theta,
-                             max_rounds)
-    Sm, Cmask = stage1(L, rand)
+                             max_rounds, n2)
+    Sm, Cmask = stage1(L, rank)
     counts = _fetch(jnp.sum(Cmask.reshape(P_, -1), axis=1)).astype(
         np.int64)
     nc = int(counts.sum())
@@ -661,24 +668,24 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
         row_counts=counts, diag_main=dmain_pad, nnz=nnz_c)
     t0 = _phase("P/R/Ac assembly")
 
-    # --- compact coarse CSR (feeds the remaining host levels — the one
-    # unavoidable coarse-scale fetch) ---
-    ell_v_h = _fetch(ell_v)
-    ell_c_h = _fetch(ell_c)
-    rows_h, cols_h, vals_h = [], [], []
-    for q in range(P_):
-        mask = ell_v_h[q] != 0
-        ri, ki = np.nonzero(mask)
-        rows_h.append(row_off_c[q] + ri.astype(np.int64))
-        cols_h.append(ell_c_h[q][ri, ki].astype(np.int64))
-        vals_h.append(ell_v_h[q][ri, ki].astype(np.float64))
-    del ell_v, ell_c, ell_v_h, ell_c_h
-    Ah_c = sp.csr_matrix(
-        (np.concatenate(vals_h), (np.concatenate(rows_h),
-                                  np.concatenate(cols_h))), shape=(nc, nc))
-    t0 = _phase("coarse CSR fetch")
+    # --- coarse CSR fetch is DEFERRED (builder fetches only when it
+    # actually drops to the host pipeline for the next level) ---
+    def _fetch_coarse_csr():
+        ell_v_h = _fetch(ell_v)
+        ell_c_h = _fetch(ell_c)
+        rows_h, cols_h, vals_h = [], [], []
+        for q in range(P_):
+            mask = ell_v_h[q] != 0
+            ri, ki = np.nonzero(mask)
+            rows_h.append(row_off_c[q] + ri.astype(np.int64))
+            cols_h.append(ell_c_h[q][ri, ki].astype(np.int64))
+            vals_h.append(ell_v_h[q][ri, ki].astype(np.float64))
+        return sp.csr_matrix(
+            (np.concatenate(vals_h), (np.concatenate(rows_h),
+                                      np.concatenate(cols_h))),
+            shape=(nc, nc))
 
     # Cmask flat (padded layout = exact: row_pad == box)
     return dict(Cmask=Cmask.reshape(-1), nc=nc, P=P_sh, R=R_sh,
-                Ac=Ac_sh, Ah_c=Ah_c, dinv=dinv, dinv_l1=dinv_l1,
-                coarse_row_offsets=row_off_c)
+                Ac=Ac_sh, Ah_c_fn=_fetch_coarse_csr, dinv=dinv,
+                dinv_l1=dinv_l1, coarse_row_offsets=row_off_c)

@@ -317,6 +317,15 @@ class ShardedMatrix:
         use_bdia = False
         bdia_R = bdia_D = 0
         itemsize = np.dtype(dtype).itemsize
+        # the Pallas tile kernels (BDIA/BELL) are compiled as
+        # tpu_custom_call: on real TPUs XLA's f64-emulation rewrite cannot
+        # process custom calls (compile error "While rewriting computation
+        # to not contain X64 element types..."), so >4-byte dtypes must
+        # take the XLA-executed layouts there.  The CPU backend runs the
+        # kernels in interpret mode and keeps f64 coverage for tests.
+        if itemsize > 4 and mesh.devices.flat[0].platform != "cpu":
+            allow_bdia = False
+            allow_bell = False
         tile_budget = min(BELL_MAX_BYTES,
                           max(TILE_EXPANSION_FLOOR,
                               int(TILE_MAX_EXPANSION *
