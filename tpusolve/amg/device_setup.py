@@ -598,35 +598,59 @@ def _row_width_max_planes(Pv):
     return jnp.max(w)
 
 
-@partial(jax.jit, static_argnames=("K",))
-def _pack_p_ell_jit(Pv, cnum, flats_arr, K):
-    """Fused P pack: ELL (n, K) values/cols straight from the interp value
-    planes — the col of plane d at row i is cnum[i + flats_arr[d]],
-    computed per plane inside the pack loop.  Never materializes the
-    (D, n) value/col stacks (2 x 1.8 GB at 256^3 — the allocation that
-    OOM'd the 16 GB v5e tail of the 256^3 setup).  Also returns nnz(P)."""
+@partial(jax.jit, static_argnames=("C", "K"))
+def _pack_p_chunk_jit(Ps, cnum_pad, flats_off, start, C, K):
+    """One C-row chunk of the P pack: ELL (C, K) values/cols.
+
+    The per-plane column streams arrive as shifted dynamic slices of the
+    zero-padded coarse numbering (dead slots read garbage cols but sort
+    away on the dead key), the (D, C) block is transposed, and a stable
+    width-D sort on the dead flag packs live entries in plane order.
+    Sort-pack replaces the old per-plane cursor scatters: TPU scatters
+    cost ~10-20 ns/element while short-row sorts stream (the 27-plane
+    scatter pack measured ~25 s at 256^3; this is a few seconds)."""
+    D, nn = Ps.shape
+    blk = lax.dynamic_slice(Ps, (0, start), (D, C))          # (D, C)
+    cols = jnp.stack([
+        lax.dynamic_slice(cnum_pad, (start + flats_off[d],), (C,))
+        for d in range(D)])                                   # (D, C)
+    vT = blk.T
+    cT = cols.T
+    dead = (vT == 0).astype(jnp.int32)
+    _, v_s, c_s = lax.sort((dead, vT, cT), dimension=1, num_keys=1,
+                           is_stable=True)
+    nnz = jnp.sum(dead == 0, dtype=jnp.int32)
+    return v_s[:, :K], jnp.where(v_s[:, :K] != 0, c_s[:, :K], 0), nnz
+
+
+def _pack_p_ell(Pv, cnum, flats, K):
+    """Fused chunked P pack: ELL (n, K) values/cols straight from the
+    interp value planes — the col of plane d at row i is
+    cnum[i + flats[d]] (in-bounds for every LIVE entry by construction of
+    the interpolation lattice).  Never materializes the (D, n) value/col
+    stacks (2 x 1.8 GB at 256^3 — the allocation that OOM'd the 16 GB
+    v5e tail of the 256^3 setup).  Also returns nnz(P)."""
     D = Pv.shape[0]
     nn = Pv[0].size
     Ps = Pv.reshape(D, -1)
-    rows = jnp.arange(nn, dtype=jnp.int32)
-
-    def body(d, carry):
-        out_v, out_c, cur, nnz = carry
-        v = Ps[d]
-        cols = cnum[jnp.clip(rows + flats_arr[d], 0, nn - 1)]
-        nz = v != 0
-        slot = jnp.where(nz, cur, K)     # OOB scatter drops the zeros
-        out_v = out_v.at[rows, slot].set(v, mode="drop")
-        out_c = out_c.at[rows, slot].set(cols, mode="drop")
-        return (out_v, out_c, cur + nz.astype(jnp.int32),
-                nnz + jnp.sum(nz, dtype=jnp.int32))
-
-    out_v = jnp.zeros((nn, K), Ps.dtype)
-    out_c = jnp.zeros((nn, K), jnp.int32)
-    cur = jnp.zeros(nn, jnp.int32)
-    out_v, out_c, _, nnz = lax.fori_loop(
-        0, D, body, (out_v, out_c, cur, jnp.int32(0)))
-    return out_v, out_c, nnz
+    fmax = max(1, max(abs(int(f)) for f in flats))
+    cnum_pad = jnp.pad(cnum, (fmax, fmax))
+    flats_off = tuple(int(f) + fmax for f in flats)
+    C = min(nn, 1 << 21)
+    nch = (nn + C - 1) // C
+    pad_to = nch * C
+    if pad_to != nn:
+        Ps = jnp.pad(Ps, ((0, 0), (0, pad_to - nn)))
+        cnum_pad = jnp.pad(cnum_pad, (0, pad_to - nn))
+    vs, cs, nnz = [], [], 0
+    for c in range(nch):
+        v_s, c_s, nz = _pack_p_chunk_jit(Ps, cnum_pad, flats_off,
+                                         c * C, C=C, K=K)
+        vs.append(v_s)
+        cs.append(c_s)
+        nnz += int(nz)
+    return (jnp.concatenate(vs)[:nn], jnp.concatenate(cs)[:nn],
+            jnp.int32(nnz))
 
 
 @partial(jax.jit, static_argnames=("comps", "dims"))
@@ -820,9 +844,13 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
         counts, lv = count_chunk(planes, cidx, counts)
         del planes
         lvs.append(np.asarray(lv))
-    nnz_c = int(jnp.sum(counts, dtype=jnp.int64))
-    Kc = min(len(dcs), max(8, _round_up(int(jnp.max(counts)), 8)))
-    del counts
+    # one (nc,) fetch for both stats: a device int64 sum silently
+    # truncates to int32 without x64 (overflow past 2^31 nnz at
+    # north-star scale); the host sum is exact
+    counts_h = np.asarray(counts)
+    nnz_c = int(counts_h.sum(dtype=np.int64))
+    Kc = min(len(dcs), max(8, _round_up(int(counts_h.max(initial=0)), 8)))
+    del counts, counts_h
     live = np.concatenate(lvs)
     dcs_live = [dc for dc, l in zip(dcs, live) if l]
     if log is not None:
@@ -863,10 +891,10 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
 
     # --- P/R as device ELL (rectangular) ---
     comps_t = tuple(tuple(c) for c in comps)
-    flats_arr = jnp.asarray([_flat(c, dims) for c in comps], jnp.int32)
+    flats = [_flat(c, dims) for c in comps]
     Kp = min(len(comps),
              max(8, _round_up(int(_row_width_max_planes(Pv)), 8)))
-    P_v, P_c, nnz_p32 = _pack_p_ell_jit(Pv, cnum, flats_arr, Kp)
+    P_v, P_c, nnz_p32 = _pack_p_ell(Pv, cnum, flats, Kp)
     nnz_p = int(nnz_p32)
     P_sh = _ell_sharded(mesh, (n, nc), P_v, P_c,
                         np.array([0, n], np.int64), col_off_c,
