@@ -653,6 +653,63 @@ def _pack_p_ell(Pv, cnum, flats, K):
             jnp.int32(nnz))
 
 
+@jax.jit
+def _gather_chunk(planes, cidx, counts):
+    """Gather one RAP chunk's C rows: (chunk+1, *dims) planes ->
+    (chunk, nc) values (dummy no-op plane dropped) + updated row counts."""
+    flat = planes.reshape(planes.shape[0], -1)
+    small = flat[:-1, :][:, cidx]
+    return small, counts + jnp.sum(small != 0, axis=0, dtype=jnp.int32)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _dv_write(Dv, small, s):
+    """In-place (donated) write of one chunk's C rows into the persistent
+    (D, nc) RAP value stack."""
+    return lax.dynamic_update_slice(Dv, small, (s, jnp.asarray(0, s.dtype)))
+
+
+@partial(jax.jit, static_argnames=("C", "K", "n"))
+def _pack_rap_chunk_jit(Dv, cidx, cnum, shifts, start, C, K, n):
+    """One C-row chunk of the coarse-ELL pack from the (D, nc) C-row RAP
+    value stack: col of plane d at coarse row I is cnum[cidx[I] + shift_d]
+    (in-bounds for live entries by construction), and a stable sort on the
+    dead flag packs live entries in dc-plane order — the same slot order
+    as the cursor scatter this replaces, at streaming cost."""
+    D = Dv.shape[0]
+    blk = lax.dynamic_slice(Dv, (0, start), (D, C))          # (D, C)
+    ci = lax.dynamic_slice(cidx, (start,), (C,))             # (C,)
+    cols = cnum[jnp.clip(ci[None, :] + shifts[:, None], 0, n - 1)]
+    vT = blk.T
+    cT = cols.T
+    dead = (vT == 0).astype(jnp.int32)
+    _, v_s, c_s = lax.sort((dead, vT, cT), dimension=1, num_keys=1,
+                           is_stable=True)
+    return v_s[:, :K], jnp.where(v_s[:, :K] != 0, c_s[:, :K], 0)
+
+
+def _pack_rap_ell(Dv, cidx, cnum, shifts_np, K, n):
+    """(D, nc) RAP C-row stack -> (nc, K) ELL pair, chunked over rows so
+    the sort transients stay ~1.5 GB (the full-width sort would hold ~6
+    (nc, D) copies — 343 planes at 256^3)."""
+    D, nc = Dv.shape
+    itemsize = Dv.dtype.itemsize
+    C = max(1 << 15, min(nc, int(1.5e9 // (max(D, 1) * itemsize * 6))))
+    shifts = jnp.asarray(shifts_np, jnp.int32)
+    vs, cs = [], []
+    s = 0
+    while s < nc:
+        Cc = min(C, nc - s)
+        v_s, c_s = _pack_rap_chunk_jit(Dv, cidx, cnum, shifts, s,
+                                       C=Cc, K=K, n=n)
+        vs.append(v_s)
+        cs.append(c_s)
+        s += Cc
+    if len(vs) == 1:
+        return vs[0], cs[0]
+    return jnp.concatenate(vs), jnp.concatenate(cs)
+
+
 @partial(jax.jit, static_argnames=("comps", "dims"))
 def _r_stack_jit(Pv, cidx, comps, dims):
     """R = P^T planes gathered at the C rows: R[I, j] = P[j, I] lives at
@@ -718,6 +775,11 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
 
     def _phase(label):
         if log is not None:
+            # drain the dispatch queue so the wall time lands on the phase
+            # that did the work (async dispatch otherwise charges a whole
+            # phase's compute to whichever later phase syncs first)
+            jax.block_until_ready([x for x in jax.live_arrays()
+                                   if not x.is_deleted()])
             t = _time.perf_counter()
             live = sum(x.nbytes for x in jax.live_arrays()) / 1e9
             log(f"    setup[dev]: {label:24s} {t - t0:8.2f}s"
@@ -782,114 +844,14 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
     dinv, dinv_l1 = smoother_data(Av)
     t0 = _phase("interpolation")
 
-    # --- Galerkin RAP in dc chunks, compacted to the C rows immediately
-    # (the full fine-indexed plane stack would be |dc| * n floats) ---
     cnum = (jnp.cumsum(Cmask.reshape(-1)) - 1).astype(jnp.int32)
     cidx = jnp.nonzero(Cmask.reshape(-1), size=nc)[0].astype(jnp.int32)
-
-    groups = _rap_terms(comps)
-    dcs = list(groups.keys())
-    # chunk the dc planes so the scan accumulator stays <= ~0.9 GB HBM
-    # (the while-scan may double-buffer the carry)
-    plane_bytes = int(np.prod(dims)) * np.dtype(dt).itemsize
-    CHUNK = max(8, min(48, int(9e8 // plane_bytes) - 1))
-
-    # two passes over the chunked contraction: counts first (fixes the ELL
-    # width K), then scatter each chunk's C rows straight into the final
-    # (nc, K) pair — stacking all gathered planes first costs ~4 GB at
-    # 256^3, on top of the RAP working set
-    @jax.jit
-    def count_chunk(planes, cidx, counts):
-        flat = planes.reshape(planes.shape[0], -1)
-        nz = flat[:, cidx] != 0                             # (chunk+1, nc)
-        nz = nz[:-1]                                        # drop dummy
-        return counts + jnp.sum(nz, axis=0, dtype=jnp.int32), \
-            jnp.any(nz, axis=1)
-
-    def pack_chunk(planes, cidx, cnum, shifts, out_v, out_c, cur, K):
-        P_ = planes.shape[0] - 1                            # drop dummy
-        flat = planes.reshape(planes.shape[0], -1)
-        v = flat[:, cidx]
-        rows = jnp.arange(cidx.shape[0], dtype=jnp.int32)
-
-        def body(d, carry):
-            ov, oc, cur = carry
-            vv = v[d]
-            nz = vv != 0
-            slot = jnp.where(nz, cur, K)   # OOB scatter drops zeros
-            cc = cnum[jnp.clip(cidx + shifts[d], 0, n - 1)]
-            ov = ov.at[rows, slot].set(vv, mode="drop")
-            oc = oc.at[rows, slot].set(cc, mode="drop")
-            return ov, oc, cur + nz.astype(jnp.int32)
-
-        return jax.lax.fori_loop(0, P_, body, (out_v, out_c, cur))
-
-    pack_chunk = jax.jit(pack_chunk, static_argnames=("K",),
-                         donate_argnums=(4, 5, 6))
-
-    m = _pad_m(comps)
-    Avp = _pad_stack(Av, m)
-    del Av                   # the padded copy is the only RAP input
-    Pvp = _pad_stack(Pv, m)
-
-    # pass 1: row widths
-    counts = jnp.zeros((nc,), jnp.int32)
-    lvs = []
-    chunk_shifts = []
-    for s in range(0, len(dcs), CHUNK):
-        sub = dcs[s:s + CHUNK]
-        chunk_shifts.append(jnp.asarray(
-            [_flat(dc, dims) for dc in sub] + [0], jnp.int32))
-        planes = _rap_scan(Avp, Pvp, comps, sub, groups, dims, dt, m)
-        counts, lv = count_chunk(planes, cidx, counts)
-        del planes
-        lvs.append(np.asarray(lv))
-    # one (nc,) fetch for both stats: a device int64 sum silently
-    # truncates to int32 without x64 (overflow past 2^31 nnz at
-    # north-star scale); the host sum is exact
-    counts_h = np.asarray(counts)
-    nnz_c = int(counts_h.sum(dtype=np.int64))
-    Kc = min(len(dcs), max(8, _round_up(int(counts_h.max(initial=0)), 8)))
-    del counts, counts_h
-    live = np.concatenate(lvs)
-    dcs_live = [dc for dc, l in zip(dcs, live) if l]
-    if log is not None:
-        live_gb = sum(x.nbytes for x in jax.live_arrays()) / 1e9
-        log(f"      rap counts: K={Kc} nnz_c={nnz_c} "
-            f"live_dcs={len(dcs_live)} [{live_gb:5.2f} GB live]")
-
-    # pass 2: scatter each chunk straight into the coarse ELL (scans are
-    # compile-cached from pass 1; pure re-execution)
-    ell_v = jnp.zeros((nc, Kc), dt)
-    ell_c = jnp.zeros((nc, Kc), jnp.int32)
-    cur = jnp.zeros((nc,), jnp.int32)
-    dmain = None
-    zero_dc_pos = next((i for i, dc in enumerate(dcs)
-                        if all(c == 0 for c in dc)), None)
-    for ci, s in enumerate(range(0, len(dcs), CHUNK)):
-        sub = dcs[s:s + CHUNK]
-        planes = _rap_scan(Avp, Pvp, comps, sub, groups, dims, dt, m)
-        if zero_dc_pos is not None and s <= zero_dc_pos < s + len(sub):
-            flat = planes.reshape(planes.shape[0], -1)
-            dmain = flat[zero_dc_pos - s][cidx]
-        ell_v, ell_c, cur = pack_chunk(planes, cidx, cnum,
-                                       chunk_shifts[ci], ell_v, ell_c,
-                                       cur, K=Kc)
-        del planes
-    del Avp, Pvp, cur
-    t0 = _phase("galerkin RAP")
-
-    # coarse diagonal for the ShardedMatrix.diag field
-    if dmain is None:
-        dmain = jnp.zeros(nc, dt)
-    dmain = jnp.where(dmain == 0, 1.0, dmain)  # safety on empty rows
     col_off_c = np.array([0, nc], np.int64)
     row_off_c = col_off_c
-    Ac_sh = _ell_sharded(mesh, (nc, nc), ell_v, ell_c,
-                         row_off_c, col_off_c, dmain, nnz_c, axis=A.axis)
-    t0 = _phase("coarse A compaction")
 
-    # --- P/R as device ELL (rectangular) ---
+    # --- P/R as device ELL (rectangular), packed BEFORE the RAP so the
+    # fine P planes (D * n floats — 1.8 GB at 256^3) are freed during the
+    # RAP sweep instead of held across it ---
     comps_t = tuple(tuple(c) for c in comps)
     flats = [_flat(c, dims) for c in comps]
     Kp = min(len(comps),
@@ -902,7 +864,6 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
     del P_v, P_c
 
     Rstack, RCstack = _r_stack_jit(Pv, cidx, comps_t, dims)
-    del Pv
     R_v, R_c, Kr = _pack_planes_to_ell(Rstack, RCstack)
     del Rstack, RCstack
     R_sh = _ell_sharded(mesh, (nc, n), R_v, R_c,
@@ -910,6 +871,64 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
                         np.ones(nc, dt), nnz_p, axis=A.axis)
     del R_v, R_c
     t0 = _phase("P/R compaction")
+
+    # --- Galerkin RAP in dc chunks, gathered to the C rows immediately
+    # (the full fine-indexed plane stack would be |dc| * n floats) ---
+    groups = _rap_terms(comps)
+    dcs = list(groups.keys())
+    # chunk the dc planes so the scan accumulator stays <= ~0.9 GB HBM
+    # (the while-scan may double-buffer the carry)
+    plane_bytes = int(np.prod(dims)) * np.dtype(dt).itemsize
+    CHUNK = max(8, min(48, int(9e8 // plane_bytes) - 1))
+
+    # SINGLE sweep over the chunked contraction: each chunk's C rows are
+    # gathered into a persistent (|dc|, nc) value stack (~5% the size of
+    # the fine-indexed planes), then one sort-based pack emits the coarse
+    # ELL.  This replaces the earlier two-pass formulation (counts sweep +
+    # a full re-execution of every RAP scan feeding per-plane cursor
+    # scatters): the re-scan doubled the RAP compute and the 343-plane
+    # scatter cost ~10-20 ns/element on TPU.
+    m = _pad_m(comps)
+    Avp = _pad_stack(Av, m)
+    del Av                   # the padded copy is the only RAP input
+    Pvp = _pad_stack(Pv, m)
+    del Pv                   # P/R packs above were the last fine-P use
+
+    Dv = jnp.zeros((len(dcs), nc), dt)
+    counts = jnp.zeros((nc,), jnp.int32)
+    for s in range(0, len(dcs), CHUNK):
+        sub = dcs[s:s + CHUNK]
+        planes = _rap_scan(Avp, Pvp, comps, sub, groups, dims, dt, m)
+        small, counts = _gather_chunk(planes, cidx, counts)
+        del planes
+        Dv = _dv_write(Dv, small, jnp.int32(s))
+        del small
+    del Avp, Pvp
+    # one (nc,) fetch for both stats: a device int64 sum silently
+    # truncates to int32 without x64 (overflow past 2^31 nnz at
+    # north-star scale); the host sum is exact
+    counts_h = np.asarray(counts)
+    nnz_c = int(counts_h.sum(dtype=np.int64))
+    Kc = min(len(dcs), max(8, _round_up(int(counts_h.max(initial=0)), 8)))
+    del counts, counts_h
+    if log is not None:
+        live_gb = sum(x.nbytes for x in jax.live_arrays()) / 1e9
+        live_dcs = int(jnp.sum(jnp.any(Dv != 0, axis=1)))
+        log(f"      rap counts: K={Kc} nnz_c={nnz_c} "
+            f"live_dcs={live_dcs} [{live_gb:5.2f} GB live]")
+
+    zero_dc_pos = next(i for i, dc in enumerate(dcs)
+                       if all(c == 0 for c in dc))
+    dmain = Dv[zero_dc_pos]
+    shifts_np = np.asarray([_flat(dc, dims) for dc in dcs], np.int32)
+    ell_v, ell_c = _pack_rap_ell(Dv, cidx, cnum, shifts_np, Kc, n)
+    del Dv
+    t0 = _phase("galerkin RAP")
+
+    dmain = jnp.where(dmain == 0, 1.0, dmain)  # safety on empty rows
+    Ac_sh = _ell_sharded(mesh, (nc, nc), ell_v, ell_c,
+                         row_off_c, col_off_c, dmain, nnz_c, axis=A.axis)
+    t0 = _phase("coarse A compaction")
 
     # --- coarse CSR fetch is DEFERRED: if the next level recurses on
     # device (builder.py generic-ELL recursion) the device->host transfer

@@ -34,6 +34,7 @@ order roundoff (tests/test_device_setup.py::TestShardedDeviceSetup).
 from __future__ import annotations
 
 import time as _time
+from functools import partial
 
 import numpy as np
 import scipy.sparse as sp
@@ -493,22 +494,35 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
     def rap_chunk(Avp_p, Pvp_p, sub):
         return _rap_scan(Avp_p, Pvp_p, comps, sub, groups, dims, dt, m)
 
-    @jax.jit
-    def count_chunk(planes, cidx, valid, cnts):
+    # SINGLE sweep over the chunked contraction (mirrors
+    # device_setup.py's single-pass RAP: the earlier two-pass form
+    # re-executed every RAP scan for the pack and paid ~10-20 ns/element
+    # per-plane cursor scatters).  Each chunk's C rows are masked by
+    # ``valid`` and written into a persistent per-part (|dc|, ncap) value
+    # stack; one sort-based pack then emits the coarse ELL.
+    def gather_chunk(planes, cidx, valid, Dv_p, cnts, s):
         flat = planes.reshape(planes.shape[0], -1)
-        nz = (flat[:, cidx] != 0) & valid[None, :]
-        nz = nz[:-1]
-        return cnts + jnp.sum(nz, axis=0, dtype=jnp.int32)
+        small = jnp.where(valid[None, :], flat[:-1, :][:, cidx],
+                          jnp.zeros((), dt))
+        cnts = cnts + jnp.sum(small != 0, axis=0, dtype=jnp.int32)
+        Dv_p = lax.dynamic_update_slice(Dv_p, small,
+                                        (s, jnp.asarray(0, s.dtype)))
+        return Dv_p, cnts
 
-    # pass 1: per-part row widths
-    cnts = jnp.zeros((P_, ncap), jnp.int32)
-    cnts = jax.device_put(cnts, NamedSharding(mesh, P(axis)))
+    gather = jax.jit(jax.vmap(gather_chunk,
+                              in_axes=(0, 0, 0, 0, 0, None)),
+                     donate_argnums=(3, 4))
+
+    sh = NamedSharding(mesh, P(axis))
+    Dv = jax.device_put(jnp.zeros((P_, len(dcs), ncap), dt), sh)
+    cnts = jax.device_put(jnp.zeros((P_, ncap), jnp.int32), sh)
     for s in range(0, len(dcs), CHUNK):
         sub = dcs[s:s + CHUNK]
         planes = jax.jit(jax.vmap(
             lambda a, p: rap_chunk(a, p, sub)))(Avp, Pvp)
-        cnts = jax.vmap(count_chunk)(planes, cidx, valid, cnts)
+        Dv, cnts = gather(planes, cidx, valid, Dv, cnts, jnp.int32(s))
         del planes
+    del Avp
     Kc = min(len(dcs), max(8, _round_up(int(jnp.max(cnts)), 8)))
     nnz_c = int(_fetch(jnp.sum(cnts.reshape(P_, -1), axis=1))
                 .astype(np.int64).sum())   # int64 on host: x64-agnostic
@@ -517,54 +531,55 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
         print(f"      rap[sharded]: K={Kc} nnz_c={nnz_c} ncap={ncap}",
               flush=True)
 
-    # pass 2: pack each chunk's C rows into the per-part coarse ELL; cols
-    # come from the haloed cnum plane at the dc-shifted positions
-    def pack_chunk(planes, cidx, valid, cnum_h_p, ov, oc, cur, sub_comps,
-                   K):
-        nsub = planes.shape[0] - 1
-        flat = planes.reshape(planes.shape[0], -1)
-        v = flat[:, cidx]
-        cols = jnp.stack(
-            [_shift_h(cnum_h_p, c, hc).reshape(-1)[cidx]
-             for c in sub_comps] + [jnp.zeros_like(cidx)])
-        rows = jnp.arange(cidx.shape[0], dtype=jnp.int32)
+    zero_dc_pos = next(i for i, dc in enumerate(dcs)
+                       if all(c == 0 for c in dc))
+    dmain = Dv[:, zero_dc_pos, :]                        # (P, ncap)
 
-        def body(d, carry):
-            ov, oc, cur = carry
-            vv = jnp.where(valid, v[d], 0.0)
-            nz = vv != 0
-            slot = jnp.where(nz, cur, K)
-            ov = ov.at[rows, slot].set(vv, mode="drop")
-            oc = oc.at[rows, slot].set(cols[d], mode="drop")
-            return ov, oc, cur + nz.astype(jnp.int32)
+    # pack: cols come from the halo'd coarse-numbering plane at
+    # coords(cidx) + dc + hc — a flat-index gather (no per-dc plane
+    # shifts); live entries are in-halo by construction (|dc| <= hc)
+    hdims = tuple(d + 2 * hc for d in dims)
+    hstr = tuple(int(np.prod(hdims[k + 1:])) for k in range(len(dims)))
+    dstr = tuple(int(np.prod(dims[k + 1:])) for k in range(len(dims)))
+    dcs_dev = jnp.asarray(np.asarray(dcs, np.int32))     # (Dc, ndim)
 
-        return lax.fori_loop(0, nsub, body, (ov, oc, cur))
+    def pack_rows(Dv_p, cidx_p, cnum_h_p, start, C, K):
+        Dc = Dv_p.shape[0]
+        blk = lax.dynamic_slice(
+            Dv_p, (jnp.asarray(0, start.dtype), start), (Dc, C))
+        ci = lax.dynamic_slice(cidx_p, (start,), (C,))
+        flat_h = jnp.zeros((Dc, C), jnp.int32)
+        for k in range(len(dims)):
+            crd = (ci // dstr[k]) % dims[k]
+            flat_h = flat_h + (crd[None, :] + hc
+                               + dcs_dev[:, k:k + 1]) * hstr[k]
+        cols = cnum_h_p.reshape(-1)[flat_h]              # (Dc, C)
+        vT = blk.T
+        cT = cols.T
+        dead = (vT == 0).astype(jnp.int32)
+        _, v_s, c_s = lax.sort((dead, vT, cT), dimension=1, num_keys=1,
+                               is_stable=True)
+        return v_s[:, :K], jnp.where(v_s[:, :K] != 0, c_s[:, :K], 0)
 
-    sh = NamedSharding(mesh, P(axis))
-    ell_v = jax.device_put(jnp.zeros((P_, ncap, Kc), dt), sh)
-    ell_c = jax.device_put(jnp.zeros((P_, ncap, Kc), jnp.int32), sh)
-    cur = jax.device_put(jnp.zeros((P_, ncap), jnp.int32), sh)
-    dmain = None
-    zero_dc_pos = next((i for i, dc in enumerate(dcs)
-                        if all(c == 0 for c in dc)), None)
-    for s in range(0, len(dcs), CHUNK):
-        sub = dcs[s:s + CHUNK]
-        sub_comps = tuple(tuple(c) for c in sub)
-        planes = jax.jit(jax.vmap(
-            lambda a, p: rap_chunk(a, p, sub)))(Avp, Pvp)
-        if zero_dc_pos is not None and s <= zero_dc_pos < s + len(sub):
-            k = zero_dc_pos - s
-            dmain = jax.vmap(
-                lambda pl, ci: pl.reshape(pl.shape[0], -1)[k][ci])(
-                planes, cidx)
-        packer = jax.jit(jax.vmap(
-            lambda pl, ci, va, ch, ov, oc, cu: pack_chunk(
-                pl, ci, va, ch, ov, oc, cu, sub_comps, Kc)),
-            donate_argnums=(4, 5, 6))
-        ell_v, ell_c, cur = packer(planes, cidx, valid, cnum_h,
-                                   ell_v, ell_c, cur)
-        del planes
-    del Avp, cur
+    @partial(jax.jit, static_argnames=("C", "K"))
+    def packer(Dv, cidx, cnum_h, start, C, K):
+        return jax.vmap(lambda dv, ci, ch: pack_rows(
+            dv, ci, ch, start, C, K))(Dv, cidx, cnum_h)
+
+    itemsize = np.dtype(dt).itemsize
+    Crow = max(1 << 12, min(ncap, int(
+        1.5e9 // max(1, len(dcs) * itemsize * 6 * P_))))
+    vs_, cs_ = [], []
+    s0 = 0
+    while s0 < ncap:
+        Cc = min(Crow, ncap - s0)
+        v_s, c_s = packer(Dv, cidx, cnum_h, jnp.int32(s0), C=Cc, K=Kc)
+        vs_.append(v_s)
+        cs_.append(c_s)
+        s0 += Cc
+    del Dv
+    ell_v = vs_[0] if len(vs_) == 1 else jnp.concatenate(vs_, axis=1)
+    ell_c = cs_[0] if len(cs_) == 1 else jnp.concatenate(cs_, axis=1)
     t0 = _phase("galerkin RAP")
 
     # --- device-first P/R/Ac assembly (from_device_ell_parts): the bulk
@@ -656,12 +671,8 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
         row_counts=counts, nnz=nnz_p)
     del Rv_ell, Rc_ell, Pvp, Pv
 
-    # Ac: the RAP pass-2 ELL, diagonal from the zero-offset plane
-    if dmain is None:
-        dmain_pad = jnp.ones((P_, ncap), dt)
-    else:
-        dmain_pad = jnp.where(valid & (dmain != 0), dmain,
-                              jnp.ones((), dt))
+    # Ac: the packed RAP ELL, diagonal from the zero-offset plane
+    dmain_pad = jnp.where(valid & (dmain != 0), dmain, jnp.ones((), dt))
     Ac_sh = ShardedMatrix.from_device_ell_parts(
         mesh, (nc, nc), ell_v, ell_c,
         row_offsets=row_off_c, col_offsets=row_off_c, axis=axis,
