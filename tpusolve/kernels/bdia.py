@@ -238,6 +238,11 @@ except Exception:  # pragma: no cover
 
 LANE = 128
 
+# x64-proof index-map constant: a python-int 0 in a BlockSpec index map
+# traces as an i64 under jax_enable_x64, and Mosaic cannot legalize the
+# (i32, i64) index-map return
+_I0 = np.int32(0)
+
 
 # R-row blocks processed per pallas grid step (SMEM/VMEM block shapes need
 # a sublane-divisible leading dim)
@@ -268,16 +273,22 @@ def _bdia_kernel(starts_ref, x2d_ref, vals_ref, out_ref, *, d: int, rr: int,
             win = jnp.where(lanes < LANE - rem, rot[:rr], rot[1:rr + 1])
             v = vals_ref[g, dd].reshape(rr, LANE)
             return acc + v * win
-        # Mosaic supports only full unrolling; do it for moderate D — it
-        # removes the per-slot scalar loop overhead and lets the compiler
-        # pipeline the slots (measured 10x on v5e: 73 -> 702 GB/s effective)
-        acc = lax.fori_loop(0, d, slot,
-                            jnp.zeros((rr, LANE), vals_ref.dtype),
-                            unroll=(d if d <= UNROLL_MAX else 1))
+        # Mosaic supports only full unrolling; do it (as a python loop, so
+        # no loop carry exists at all) for moderate D — it removes the
+        # per-slot scalar loop overhead and lets the compiler pipeline the
+        # slots (measured 10x on v5e: 73 -> 702 GB/s effective).  Loop
+        # carries must be int32: under jax_enable_x64, python-int bounds
+        # trace as i64 counters, which Mosaic cannot legalize.
+        acc = jnp.zeros((rr, LANE), vals_ref.dtype)
+        if d <= UNROLL_MAX:
+            for dd in range(d):
+                acc = slot(jnp.int32(dd), acc)
+        else:
+            acc = lax.fori_loop(jnp.int32(0), jnp.int32(d), slot, acc)
         out_ref[g] = acc.reshape(-1)
         return _
 
-    lax.fori_loop(0, gb, block, None)
+    lax.fori_loop(jnp.int32(0), jnp.int32(gb), block, None)
 
 
 def _pow2ceil(x: int) -> int:
@@ -340,7 +351,9 @@ def _bdia_kernel_xl(rowstart_ref, starts_ref, vals_ref, x_hbm_ref, out_ref,
 
     @pl.when(i == 0)
     def _warm():
-        dma(0, 0).start()
+        # int32 indices: python-int 0 traces as i64 under jax_enable_x64,
+        # which Mosaic's memref_slice rejects
+        dma(jnp.int32(0), jnp.int32(0)).start()
 
     @pl.when(i + one < nsteps)
     def _prefetch():
@@ -362,12 +375,15 @@ def _bdia_kernel_xl(rowstart_ref, starts_ref, vals_ref, x_hbm_ref, out_ref,
             win = jnp.where(lanes < LANE - rem, rot[:rr], rot[1:rr + 1])
             v = vals_ref[g, dd].reshape(rr, LANE)
             return acc + v * win
-        acc = lax.fori_loop(0, d, slotf,
-                            jnp.zeros((rr, LANE), vals_ref.dtype),
-                            unroll=(d if d <= UNROLL_MAX else 1))
+        acc = jnp.zeros((rr, LANE), vals_ref.dtype)
+        if d <= UNROLL_MAX:   # full unroll as a python loop (see _bdia_kernel)
+            for dd in range(d):
+                acc = slotf(jnp.int32(dd), acc)
+        else:
+            acc = lax.fori_loop(jnp.int32(0), jnp.int32(d), slotf, acc)
         out_ref[g] = acc.reshape(-1)
         return _
-    lax.fori_loop(0, gb, block, None)
+    lax.fori_loop(jnp.int32(0), jnp.int32(gb), block, None)
 
 
 def bdia_spmv_pallas_xl(vals, starts, rowstart, pxrows: int, xrows: int, x,
@@ -398,14 +414,18 @@ def bdia_spmv_pallas_xl(vals, starts, rowstart, pxrows: int, xrows: int, x,
                           pxrows=pxrows, nsteps=nsteps),
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),       # rowstart whole
-            pl.BlockSpec((gb, D), lambda i: (i, 0),
+            # whole-array specs carry explicit int32 index maps (a default
+            # map's python-int 0 traces as i64 under x64 — Mosaic rejects it)
+            pl.BlockSpec(rowstart.shape, lambda i: (_I0,),
+                         memory_space=pltpu.SMEM),       # rowstart whole
+            pl.BlockSpec((gb, D), lambda i: (i, _I0),
                          memory_space=pltpu.SMEM),       # window starts
-            pl.BlockSpec((gb, D, R), lambda i: (i, 0, 0),
+            pl.BlockSpec((gb, D, R), lambda i: (i, _I0, _I0),
                          memory_space=pltpu.VMEM),       # coefficient stream
-            pl.BlockSpec(memory_space=pl.ANY),           # x2d stays in HBM
+            pl.BlockSpec((xrows, LANE), lambda i: (_I0, _I0),
+                         memory_space=pl.ANY),           # x2d stays in HBM
         ],
-        out_specs=pl.BlockSpec((gb, R), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((gb, R), lambda i: (i, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, R), vals.dtype,
                                        vma=frozenset(vma) if vma else None),
@@ -441,13 +461,16 @@ def bdia_spmv_pallas(vals, starts, x, xpad_lo: int, xlen: int, row_pad: int,
         functools.partial(_bdia_kernel, d=D, rr=rr, gb=gb),
         grid=(Bp // gb,),
         in_specs=[
-            pl.BlockSpec((gb, D), lambda i: (i, 0),
+            pl.BlockSpec((gb, D), lambda i: (i, _I0),
                          memory_space=pltpu.SMEM),      # window starts
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # x2d whole
-            pl.BlockSpec((gb, D, R), lambda i: (i, 0, 0),
+            # x2d whole: the index map is explicit so no python-int (i64
+            # under x64) default map reaches Mosaic
+            pl.BlockSpec((xrows, LANE), lambda i: (_I0, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, D, R), lambda i: (i, _I0, _I0),
                          memory_space=pltpu.VMEM),      # coefficient stream
         ],
-        out_specs=pl.BlockSpec((gb, R), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((gb, R), lambda i: (i, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, R), vals.dtype,
                                        vma=frozenset(vma) if vma else None),

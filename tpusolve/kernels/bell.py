@@ -152,6 +152,9 @@ except Exception:  # pragma: no cover
 # groups processed per pallas grid step: vals block = GB*K*4KB in VMEM
 _PALLAS_GB = 8
 
+# x64-proof index-map constant (see kernels/bdia.py:_I0)
+_I0 = np.int32(0)
+
 
 def _bell_kernel(ids_ref, x2d_ref, vals_ref, out_ref, *, k: int, gb: int):
     """One grid step: ``gb`` row groups, ``k`` tiles each.
@@ -167,11 +170,14 @@ def _bell_kernel(ids_ref, x2d_ref, vals_ref, out_ref, *, k: int, gb: int):
             cid = ids_ref[g, kk]
             xrow = x2d_ref[cid, :]                       # (128,)
             return acc + vals_ref[g, kk] * xrow[None, :]
-        acc = lax.fori_loop(0, k, tile, jnp.zeros((TM, TN), vals_ref.dtype))
+        # int32 loop bounds: under jax_enable_x64 python-int bounds trace
+        # as i64 loop carries, which Mosaic cannot legalize
+        acc = lax.fori_loop(jnp.int32(0), jnp.int32(k), tile,
+                            jnp.zeros((TM, TN), vals_ref.dtype))
         out_ref[g] = jnp.sum(acc, axis=-1)               # (8,)
         return _
 
-    lax.fori_loop(0, gb, group, None)
+    lax.fori_loop(jnp.int32(0), jnp.int32(gb), group, None)
 
 
 def bell_spmv_pallas(vals, ids, x, nwin: int, row_pad: int,
@@ -194,13 +200,16 @@ def bell_spmv_pallas(vals, ids, x, nwin: int, row_pad: int,
         functools.partial(_bell_kernel, k=K, gb=gb),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((gb, K), lambda i: (i, 0),
+            pl.BlockSpec((gb, K), lambda i: (i, _I0),
                          memory_space=pltpu.SMEM),       # per-step tile ids
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # x2d whole in VMEM
-            pl.BlockSpec((gb, K, TM, TN), lambda i: (i, 0, 0, 0),
+            # x2d whole in VMEM: explicit index map so no python-int (i64
+            # under x64) default map reaches Mosaic
+            pl.BlockSpec(x2d.shape, lambda i: (_I0, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, K, TM, TN), lambda i: (i, _I0, _I0, _I0),
                          memory_space=pltpu.VMEM),       # tile stream
         ],
-        out_specs=pl.BlockSpec((gb, TM), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((gb, TM), lambda i: (i, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Gp, TM), vals.dtype,
                                        vma=frozenset(vma) if vma else None),
