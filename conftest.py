@@ -21,3 +21,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# host/device hierarchy-parity tests require the device PMIS to reproduce
+# the host pipeline's exact tie-break order (production default is a
+# device-generated permutation — see device_setup.use_host_rank)
+os.environ.setdefault("TPUSOLVE_PMIS_HOST_RANK", "1")

@@ -120,6 +120,49 @@ class TestHierarchyParity:
         finally:
             del os.environ["TPUSOLVE_HOST_SETUP"]
 
+    def test_symmetric_rap_matches_full_scan(self, mesh1):
+        """Production mode halves the RAP term table via Galerkin symmetry
+        (device_setup._gather_mirror).  The mirrored planes must agree
+        with the full scan to roundoff (they differ only in summation
+        order / explicit-zero bookkeeping)."""
+        cfg = BoomerAMGConfig(max_coarse_size=64, interp_type=0,
+                              max_levels=2)
+        A, b, _ = laplace27(mesh1, 16, 16, 16, dtype=np.float64)
+        os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"] = "1"
+        os.environ["TPUSOLVE_PMIS_HOST_RANK"] = "0"
+        acs = {}
+        try:
+            for sym in ("1", "0"):
+                os.environ["TPUSOLVE_RAP_SYM"] = sym
+                pre = boomeramg_setup(A, cfg)
+                acs[sym] = _tosp(pre.levels[1].A)
+        finally:
+            os.environ["TPUSOLVE_PMIS_HOST_RANK"] = "1"
+            del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
+            del os.environ["TPUSOLVE_RAP_SYM"]
+        assert acs["1"].shape == acs["0"].shape
+        d = abs(acs["1"] - acs["0"])
+        assert (d.max() if d.nnz else 0.0) < 1e-10
+
+    def test_device_rank_mode_converges(self, mesh1):
+        """Production default (device-generated PMIS tie-break permutation,
+        TPUSOLVE_PMIS_HOST_RANK unset): the hierarchy differs from the
+        host's in its C/F tie-breaks but must solve just as well."""
+        from tpusolve.krylov.cg import pcg_setup
+        cfg = BoomerAMGConfig(max_coarse_size=64)
+        A, b, _ = laplace27(mesh1, 16, 16, 16, dtype=np.float64)
+        os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"] = "1"
+        os.environ["TPUSOLVE_PMIS_HOST_RANK"] = "0"
+        try:
+            assert not device_setup.use_host_rank()
+            pre = boomeramg_setup(A, cfg)
+        finally:
+            os.environ["TPUSOLVE_PMIS_HOST_RANK"] = "1"
+            del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
+        assert pre.num_levels >= 2
+        r = pcg_setup(A, pre.apply, tol=1e-8, maxiter=60)(b)
+        assert bool(r.converged) and int(r.iters) <= 15
+
 
 class TestShardedDeviceSetup:
     """Multi-part (sharded) device setup (amg/device_setup_sharded.py) vs

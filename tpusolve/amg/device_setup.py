@@ -44,6 +44,7 @@ import numpy as np
 import scipy.sparse as sp
 import jax
 import jax.numpy as jnp
+from functools import partial
 from jax import lax
 
 from tpusolve.matrix.sharded import ShardedMatrix
@@ -179,6 +180,29 @@ def pmis_rank(seed: int, n: int, n_pad: int) -> np.ndarray:
     return rank
 
 
+def use_host_rank() -> bool:
+    """Whether the device PMIS must reproduce the host pipeline's exact
+    tie-break order (TPUSOLVE_PMIS_HOST_RANK=1 — set by the host/device
+    parity tests).  Default off: the host rank costs a single-threaded
+    O(n log n) argsort plus an n*4-byte host->device transfer (measured
+    as the bulk of the 256^3 strength+PMIS phase over the remote-TPU
+    tunnel), while a device-generated permutation is milliseconds and
+    every seeded permutation yields an equally valid PMIS split."""
+    import os
+    return os.environ.get("TPUSOLVE_PMIS_HOST_RANK", "0") == "1"
+
+
+@partial(jax.jit, static_argnames=("n_pad", "seed"))
+def pmis_rank_device(seed: int, n_pad: int):
+    """int32 tie-break rank permutation generated on device (see
+    use_host_rank): rank = inverse permutation of argsort(random bits).
+    Bit ties are broken by index inside argsort — deterministic."""
+    bits = jax.random.bits(jax.random.key(seed), (n_pad,), jnp.uint32)
+    order = jnp.argsort(bits)
+    return jnp.zeros((n_pad,), jnp.int32).at[order].set(
+        jnp.arange(n_pad, dtype=jnp.int32))
+
+
 def _pmis_keys(infl, rank, n2=None):
     """uint32 PMIS priority keys from the (integer-valued) influence and
     the host-rand ranks; 0 is the inactive sentinel, live keys are >= 1.
@@ -236,9 +260,9 @@ def _pmis_split(Sm, comps, rank, max_rounds):
         state, it = carry
         return (it < max_rounds) & jnp.any(state == UNDECIDED)
 
-    state, _ = jax.lax.while_loop(cond, body, (state0, jnp.int32(0)))
+    state, it = jax.lax.while_loop(cond, body, (state0, jnp.int32(0)))
     state = jnp.where(state == UNDECIDED, C_PT, state)   # leftovers -> C
-    return state
+    return state, it
 
 
 def _interp_planes(Av, Sm, comps, diag_slot, Cmask, interp_type):
@@ -653,6 +677,50 @@ def _pack_p_ell(Pv, cnum, flats, K):
             jnp.int32(nnz))
 
 
+@partial(jax.jit, static_argnames=("comps_t", "diag_slot"))
+def _sym_err_jit(Av, comps_t, diag_slot):
+    """max |A[d] - shift(A[-d])| over the offset planes: 0 iff the DIA
+    operator is exactly symmetric (A[d][j] = a(j, j+d) = a(j+d, j) =
+    A[-d][j+d])."""
+    rev = {c: i for i, c in enumerate(comps_t)}
+    err = jnp.asarray(0.0, Av.dtype)
+    for d, c in enumerate(comps_t):
+        if d == diag_slot:
+            continue
+        dn = rev[tuple(-x for x in c)]
+        diff = Av[d] - _shift(Av[dn], c)
+        err = jnp.maximum(err, jnp.max(jnp.abs(diff)))
+    return err
+
+
+@partial(jax.jit, static_argnames=("dims",))
+def _gather_mirror(planes, shifts, cidx, counts, dims):
+    """C rows of the MIRROR planes: for each computed positive-offset
+    plane p (offset dc = shifts[p]), Ac[-dc] at fine position x equals
+    Ac[dc][x - dc] (Galerkin symmetry), masked where x - dc leaves the
+    box.  ``shifts`` is a device (c, nd) int32 array so chunks share one
+    compiled executable per shape."""
+    nd = len(dims)
+    flat = planes.reshape(planes.shape[0], -1)
+    # coords of the C rows (nd, nc), row-major unravel
+    rm = []
+    t = cidx
+    for d in reversed(dims):
+        rm.append(t % d)
+        t = t // d
+    coords = jnp.stack(list(reversed(rm)))
+    tgt = coords[None, :, :] - shifts[:, :, None]          # (c, nd, nc)
+    lim = jnp.asarray(dims, jnp.int32)[None, :, None]
+    valid = jnp.all((tgt >= 0) & (tgt < lim), axis=1)      # (c, nc)
+    f = tgt[:, 0]
+    for k in range(1, nd):
+        f = f * dims[k] + tgt[:, k]
+    f = jnp.clip(f, 0, flat.shape[1] - 1)
+    vals = jnp.take_along_axis(flat[:shifts.shape[0]], f, axis=1)
+    small = jnp.where(valid, vals, 0.0)
+    return small, counts + jnp.sum(small != 0, axis=0, dtype=jnp.int32)
+
+
 @jax.jit
 def _gather_chunk(planes, cidx, counts):
     """Gather one RAP chunk's C rows: (chunk+1, *dims) planes ->
@@ -803,13 +871,18 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
     def stage1(Av, rank):
         Sm = _strength_planes(Av, comps, diag_slot, theta)
         max_rounds = 10 * int(np.ceil(np.log2(n + 2))) + 20
-        state = _pmis_split(Sm, comps, rank, max_rounds)
+        state, rounds = _pmis_split(Sm, comps, rank, max_rounds)
         Cmask = (state == C_PT).astype(Av.dtype).reshape(dims)
-        return Sm, Cmask
+        return Sm, Cmask, rounds
 
-    rank = jnp.asarray(pmis_rank(seed, n, n).reshape(dims))
-    Sm, Cmask = stage1(Av, rank)
+    if use_host_rank():
+        rank = jnp.asarray(pmis_rank(seed, n, n)).reshape(dims)
+    else:
+        rank = pmis_rank_device(seed, n).reshape(dims)
+    Sm, Cmask, rounds = stage1(Av, rank)
     nc = int(jnp.sum(Cmask))
+    if log is not None:
+        log(f"      pmis rounds: {int(rounds)}")
     t0 = _phase("strength+PMIS")
     if nc == 0 or nc >= n:
         return None
@@ -881,6 +954,34 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
     plane_bytes = int(np.prod(dims)) * np.dtype(dt).itemsize
     CHUNK = max(8, min(48, int(9e8 // plane_bytes) - 1))
 
+    # symmetric-operator halving: Ac = P^T A P is symmetric when A is
+    # (R is P^T exactly), so plane Ac[-dc] is plane Ac[dc] sampled at
+    # x - dc — scan only the dc >= 0 half of the term table (49% of the
+    # triple-product traffic at 27 offsets) and gather each mirror
+    # plane's C rows from the computed positive plane (_gather_mirror).
+    # Gated off in host-rank (exact-parity) mode: the mirror keeps both
+    # twins of entries whose direct sum cancels to exact 0.0 in one
+    # summation order (the values agree to roundoff but the explicit-zero
+    # bookkeeping — hence nnz — differs from the host's).
+    comps_t0 = tuple(tuple(c) for c in comps)
+    zero_c = (0,) * len(dims)
+    pos_dcs = sorted(dc for dc in dcs if dc > zero_c)
+    sym = False
+    if (_os.environ.get("TPUSOLVE_RAP_SYM", "1") == "1"
+            and not use_host_rank() and pos_dcs
+            and zero_c in groups
+            and all(tuple(-x for x in dc) in groups for dc in dcs)
+            and all(tuple(-x for x in c) in comps_t0 for c in comps_t0)):
+        sym = float(_sym_err_jit(Av, comps_t0, diag_slot)) == 0.0
+    if sym:
+        dcs = pos_dcs + [zero_c] + [tuple(-x for x in dc)
+                                    for dc in pos_dcs]
+        n_half = len(pos_dcs) + 1
+    else:
+        n_half = len(dcs)
+    if log is not None and sym:
+        log(f"      rap symmetric: scanning {n_half}/{len(dcs)} planes")
+
     # SINGLE sweep over the chunked contraction: each chunk's C rows are
     # gathered into a persistent (|dc|, nc) value stack (~5% the size of
     # the fine-indexed planes), then one sort-based pack emits the coarse
@@ -896,13 +997,24 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
 
     Dv = jnp.zeros((len(dcs), nc), dt)
     counts = jnp.zeros((nc,), jnp.int32)
-    for s in range(0, len(dcs), CHUNK):
+    dims_t = tuple(int(d) for d in dims)
+    for s in range(0, n_half, CHUNK):
         sub = dcs[s:s + CHUNK]
         planes = _rap_scan(Avp, Pvp, comps, sub, groups, dims, dt, m)
         small, counts = _gather_chunk(planes, cidx, counts)
-        del planes
         Dv = _dv_write(Dv, small, jnp.int32(s))
         del small
+        if sym:
+            # mirror rows exist for the positive-dc planes of this chunk
+            c_eff = min(len(sub), len(pos_dcs) - s)
+            if c_eff > 0:
+                shifts_d = jnp.asarray(
+                    [list(dc) for dc in sub[:c_eff]], jnp.int32)
+                msmall, counts = _gather_mirror(planes, shifts_d, cidx,
+                                                counts, dims=dims_t)
+                Dv = _dv_write(Dv, msmall, jnp.int32(n_half + s))
+                del msmall
+        del planes
     del Avp, Pvp
     # one (nc,) fetch for both stats: a device int64 sum silently
     # truncates to int32 without x64 (overflow past 2^31 nnz at

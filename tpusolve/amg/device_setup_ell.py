@@ -135,25 +135,21 @@ def _strength_jit(vals, cols, n, theta):
     return S, diag, jnp.max(jnp.sum(S, axis=1))
 
 
-@partial(jax.jit, static_argnames=("n", "max_rounds", "Ks"))
-def _pmis_jit(S, cols, rank, n, max_rounds, Ks):
-    """PMIS on the strength mask, mirroring coarsen.pmis.  Returns the
-    state vector (n_pad,) int32 1=C/0=F.
+@partial(jax.jit, static_argnames=("n", "max_rounds", "Ks", "m0"))
+def _pmis_phase_a_jit(S, cols, rank, n, max_rounds, Ks, m0):
+    """PMIS phase A, mirroring coarsen.pmis: full-array rounds until the
+    undecided set fits ``m0``.  Returns (scols, Smk, w, state, rem, it).
 
-    ``rank`` is the int32 rank of the host tie-break randoms
-    (coarsen.pmis ``rng.random(n)``): the PMIS measure is compared as an
-    EXACT uint32 key ``influence * 2^ceil(log2 n_pad) + rank + 1`` — the
-    same lexicographic (integer influence, f64 rand) order the host uses.
+    ``rank`` is the int32 rank of the PMIS tie-break randoms
+    (coarsen.pmis ``rng.random(n)`` in host-rank mode; a device
+    permutation otherwise): the PMIS measure is compared as an EXACT
+    uint32 key ``influence * 2^ceil(log2 n_pad) + rank + 1`` — the same
+    lexicographic (integer influence, f64 rand) order the host uses.
     A float32 ``influence + rand`` measure deadlocks at scale: the 24-bit
     mantissa guarantees colliding weights among millions of rows, equal
     G-adjacent weights can never become C or F, and the loop runs all
     max_rounds (observed: ~83 s at 2.1M rows, tripping the remote-TPU
-    long-execution watchdog and crashing the worker).
-
-    The loop's gathers/scatters run on the strong slots compacted to
-    width ``Ks`` (max strong count, usually well under the ELL K): the
-    rounds are gather-bound (~9 ns/element on TPU), so slot compaction
-    cuts their cost by K/Ks."""
+    long-execution watchdog and crashing the worker)."""
     n_pad, K = S.shape
     rows1 = jnp.arange(n_pad, dtype=jnp.int32)
     valid_row = rows1 < n
@@ -208,19 +204,76 @@ def _pmis_jit(S, cols, rank, n, max_rounds, Ks):
 
     def cond(carry):
         _, rem, it = carry
+        return (it < max_rounds) & (rem > m0)
+
+    state, rem, it = lax.while_loop(cond, body,
+                                    (state0, rem0, jnp.int32(0)))
+    return scols, Smk, w, state, rem, it
+
+
+@partial(jax.jit, static_argnames=("n", "max_rounds", "m0"))
+def _pmis_phase_b_jit(scols, Smk, w, state, rem, it, n, max_rounds, m0):
+    """PMIS phase B: remaining rounds on the packed (static size ``m0``)
+    active rows — undecided rows only leave the set, so one pack
+    suffices.  Rounds are gather-bound (~9 ns/element) and PMIS decides
+    most rows in phase A's first 2-3 rounds, so these tail rounds cost
+    n/m0 x less than full-array rounds.  Split from phase A because the
+    fused two-phase program tripped a pathological XLA-TPU compile
+    (measured 167 s to compile, 2.7 s to run at 1.36M rows)."""
+    n_pad = state.shape[0]
+    UND, C, F = jnp.int32(-1), jnp.int32(1), jnp.int32(0)
+    DEAD = jnp.uint32(0)
+    act = jnp.nonzero(state == UND, size=m0,
+                      fill_value=n_pad - 1)[0].astype(jnp.int32)
+    sc_a = scols[act]                            # (m0, Ks)
+    sm_a = Smk[act]
+    w_a = w[act]
+
+    def body(carry):
+        state, st_a, rem, it = carry
+        active = st_a == UND
+        wa_a = jnp.where(active, w_a, DEAD)
+        # wa over the full index space (gather targets may be any row)
+        wa = jnp.where(state == UND, w, DEAD)
+        m_row = jnp.max(jnp.where(sm_a, wa[sc_a], DEAD), axis=1)
+        m_colT = jnp.full((n_pad,), DEAD, jnp.uint32).at[sc_a].max(
+            jnp.where(sm_a, wa_a[:, None], DEAD))
+        nbrmax = jnp.maximum(m_row, m_colT[act])
+        newC = active & (wa_a > nbrmax)
+        newC_full = jnp.zeros((n_pad,), jnp.bool_).at[act].max(newC)
+        hit = jnp.any(sm_a & newC_full[sc_a], axis=1)
+        st_a = jnp.where(newC, C, st_a)
+        st_a = jnp.where(active & ~newC & hit, F, st_a)
+        # duplicate pad entries all write the same (unchanged) F value
+        state = state.at[act].set(st_a)
+        return state, st_a, jnp.sum(st_a == UND), it + 1
+
+    def cond(carry):
+        _, _, rem, it = carry
         return (it < max_rounds) & (rem > 0)
 
-    state, _, _ = lax.while_loop(cond, body, (state0, rem0, jnp.int32(0)))
+    state, _, _, _ = lax.while_loop(cond, body,
+                                    (state, state[act], rem, it))
     state = jnp.where(state == UND, C, state)       # leftovers -> C
-    state = jnp.where(valid_row, state, jnp.int32(0))
-    return state
+    valid_row = jnp.arange(n_pad, dtype=jnp.int32) < n
+    return jnp.where(valid_row, state, jnp.int32(0))
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, int(x) - 1).bit_length()
 
 
 def _stage1(vals, cols, rank, n, theta, max_rounds):
-    """strength -> (static Ks sync) -> PMIS; see _strength_jit/_pmis_jit."""
+    """strength -> (static Ks sync) -> PMIS (two-phase; see
+    _pmis_phase_a_jit/_pmis_phase_b_jit)."""
     S, diag, ks32 = _strength_jit(vals, cols, n=n, theta=theta)
     Ks = max(1, int(ks32))
-    state = _pmis_jit(S, cols, rank, n=n, max_rounds=max_rounds, Ks=Ks)
+    n_pad = S.shape[0]
+    m0 = min(n_pad, max(4096, _pow2ceil(n_pad // 16)))
+    scols, Smk, w, state, rem, it = _pmis_phase_a_jit(
+        S, cols, rank, n=n, max_rounds=max_rounds, Ks=Ks, m0=m0)
+    state = _pmis_phase_b_jit(scols, Smk, w, state, rem, it, n=n,
+                              max_rounds=max_rounds, m0=m0)
     return S, state, diag
 
 
@@ -311,6 +364,27 @@ def _pack_sel_jit(vals, cols, mask, Ksel, fillcol):
     cur = jnp.zeros((n_pad,), jnp.int32)
     ov, oc, cur = lax.fori_loop(0, K, body, (ov, oc, cur))
     return ov, oc, cur
+
+
+@jax.jit
+def _sigma_permute_jit(fv, fc, scv, scc, ccnt, diag, weaksum, fcnt):
+    """One fused jit for the sigma-order permutation (rows sorted by
+    descending strong-F count).  Fused because each EAGER jnp op at a new
+    shape is its own remote-TPU compile (~15-30 s each — eight eager
+    permutation gathers measured as ~250 s of one-time compiles)."""
+    order = jnp.argsort(-fcnt)
+    return (fv[order], fc[order], scv[order], scc[order], ccnt[order],
+            diag[order], weaksum[order], fcnt[order], order)
+
+
+@jax.jit
+def _sigma_unpermute_jit(w, key_s, order):
+    """Inverse of _sigma_permute_jit on the chunk outputs (same fused-jit
+    rationale)."""
+    n_pad = order.shape[0]
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(n_pad, dtype=order.dtype))
+    return w[inv], key_s[inv]
 
 
 @jax.jit
@@ -410,15 +484,25 @@ def _pack_p_from_w_jit(w, pcol, Cmask, cmap, Kp):
 
 def _interp_classical_ell(vals, cols, S, Cmask, cmap, diag, log=None):
     """Classical-modified interpolation, chunked.  Returns
-    (Pv, Pc, nnz_p) in the same ELL layout as _interp_direct_jit."""
+    (Pv, Pc, nnz_p) in the same ELL layout as _interp_direct_jit.
+
+    Rows run in sigma-order (descending strong-F count): the chunk body
+    is gather-bound in KF (two (C, K) row gathers per strong-F slot), and
+    most rows carry far fewer strong-F neighbors than the global max —
+    sorting lets each chunk's loop stop at its OWN max width, cutting the
+    gathered volume from n*KF_max to ~n*KF_mean."""
     n_pad, K = (int(s) for s in vals.shape)
     strongC, strongF, weaksum, kc32, kf32 = _classical_masks_jit(
         vals, cols, S, Cmask)
     Kc = max(1, int(kc32))
     KF = max(1, int(kf32))
     scv, scc, ccnt = _pack_sel_jit(vals, cols, strongC, Ksel=Kc, fillcol=0)
-    fv, fc, _ = _pack_sel_jit(vals, cols, strongF, Ksel=KF, fillcol=0)
+    fv, fc, fcnt = _pack_sel_jit(vals, cols, strongF, Ksel=KF, fillcol=0)
     del strongC, strongF
+
+    (fv, fc, scv, scc, ccnt, diag_o, weak_o, fcnt_s,
+     order) = _sigma_permute_jit(fv, fc, scv, scc, ccnt, diag, weaksum,
+                                 fcnt)
 
     # the chunk's materialized temps are (C, K)-shaped (gathers, slot
     # ranks); the (C, K, Kc) compare-reduce streams without materializing
@@ -435,19 +519,24 @@ def _interp_classical_ell(vals, cols, S, Cmask, cmap, diag, log=None):
 
     fv_p, fc_p = _pad_rows(fv), _pad_rows(fc)
     scv_p, scc_p, ccnt_p = _pad_rows(scv), _pad_rows(scc), _pad_rows(ccnt)
-    diag_p, weak_p = _pad_rows(diag), _pad_rows(weaksum)
+    diag_p, weak_p = _pad_rows(diag_o), _pad_rows(weak_o)
+    # chunk widths: first (= max) strong-F count of each chunk, one fetch;
+    # rounded up to a multiple of 4 to bound the compile-cache footprint
+    kf_heads = np.asarray(jax.device_get(fcnt_s[::chunk]))
     if log is not None:
-        log(f"      classical interp: KF={KF} Kc={Kc} chunks={nch}")
+        log(f"      classical interp: KF={KF} Kc={Kc} chunks={nch} "
+            f"kf/chunk={[int(h) for h in kf_heads[:8]]}")
     ws, keys = [], []
     for c in range(nch):
         sl = slice(c * chunk, (c + 1) * chunk)
+        KF_c = min(KF, max(1, _round_up(int(kf_heads[c]), 4)))
         wc, kc_s = _classical_chunk_jit(
-            fv_p[sl], fc_p[sl], scv_p[sl], scc_p[sl], ccnt_p[sl],
-            diag_p[sl], weak_p[sl], vals, cols, diag, KF=KF)
+            fv_p[sl][:, :KF_c], fc_p[sl][:, :KF_c], scv_p[sl], scc_p[sl],
+            ccnt_p[sl], diag_p[sl], weak_p[sl], vals, cols, diag, KF=KF_c)
         ws.append(wc)
         keys.append(kc_s)
-    w = jnp.concatenate(ws)[:n_pad]
-    key_s = jnp.concatenate(keys)[:n_pad]
+    w, key_s = _sigma_unpermute_jit(jnp.concatenate(ws)[:n_pad],
+                                    jnp.concatenate(keys)[:n_pad], order)
     del ws, keys, fv_p, fc_p, scv_p, scc_p, ccnt_p
 
     # w/key_s slots are sorted-by-column; dead slots carry INT32_MAX
@@ -459,6 +548,10 @@ def _interp_classical_ell(vals, cols, S, Cmask, cmap, diag, log=None):
 
 # ----------------------------------------------------------------------
 # sort-based sparse products (expand -> sort -> segment scatter-add)
+
+# shared pack width for _chunked_product chunks (see comment there)
+PACK_W = 128
+
 
 def _expand_sorted(avals_c, acols_c, Bv, Bc, sentinel):
     """(C, K) left chunk x B (ELL) -> expanded+sorted (C, K*Kb)
@@ -490,6 +583,15 @@ def _run_counts(colsM, sentinel):
     return jnp.sum(start, axis=1, dtype=jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("sentinel",))
+def _run_stats(colsM, sentinel):
+    """(max distinct-run width, total runs) of a SORTED (C, M) block —
+    one tiny fetch per chunk fixes the pack width without a second
+    expand/sort pass."""
+    cnt = _run_counts(colsM, sentinel=sentinel)
+    return jnp.max(cnt), jnp.sum(cnt)
+
+
 @partial(jax.jit, static_argnames=("Kout",))
 def _pack_runs(valsM, colsM, sent_arr, Kout):
     """SORTED (C, M) -> dedup-packed (C, Kout) ELL (segment scatter-add)."""
@@ -511,8 +613,12 @@ def _pack_runs(valsM, colsM, sent_arr, Kout):
 def _chunked_product(Av, Acols, Bv, Bc, sentinel, log=None, tag=""):
     """ELL x ELL -> dedup-packed ELL, chunked over rows of the left factor.
 
-    Two passes: widths first (fixes Kout), then pack.  Chunks share one
-    compiled expand/sort/pack (shapes uniform; tail chunk zero-padded)."""
+    Single pass: each chunk expand/sorts once, a tiny (max, sum) fetch
+    fixes that chunk's pack width, and chunks are padded to the global
+    width at the end.  (A widths-then-pack two-pass formulation sorts the
+    expansion twice — the sort IS the cost — for the sole benefit of one
+    shared pack shape; per-chunk widths cluster on a handful of rounded
+    values, so the pack recompiles stay cheap.)"""
     n_pad, K = Av.shape
     Kb = Bv.shape[1]
     itemsize = np.dtype(Av.dtype).itemsize
@@ -525,29 +631,36 @@ def _chunked_product(Av, Acols, Bv, Bc, sentinel, log=None, tag=""):
         Av = jnp.pad(Av, ((0, pad_to - n_pad), (0, 0)))
         Acols = jnp.pad(Acols, ((0, pad_to - n_pad), (0, 0)))
 
-    counts = []
-    for c in range(nch):
-        sl = slice(c * chunk, (c + 1) * chunk)
-        _, tc = _expand_sorted_jit(Av[sl], Acols[sl], Bv, Bc,
-                                   sentinel=sentinel)
-        counts.append(_run_counts(tc, sentinel=sentinel))
-    cnt = np.asarray(jnp.concatenate(counts))[:n_pad]
-    Kout = max(8, _round_up(int(cnt.max()), 8))
-    nnz = int(cnt.sum(dtype=np.int64))
-    if log is not None:
-        log(f"      spgemm[{tag}]: K={Kout} nnz={nnz} chunks={nch}")
-
+    # every chunk packs at the FIXED width PACK_W (the scatter volume is
+    # the expansion size, independent of the output width, and one shared
+    # width keeps a single compiled pack per chunk shape — remote-TPU
+    # compiles cost tens of seconds); the rare wider chunk recompiles at
+    # its own rounded width
     sent_arr = jnp.int32(sentinel)
     ovs, ocs = [], []
+    nnz = 0
+    kmax = 1
     for c in range(nch):
         sl = slice(c * chunk, (c + 1) * chunk)
         tv, tc = _expand_sorted_jit(Av[sl], Acols[sl], Bv, Bc,
                                     sentinel=sentinel)
-        ov, oc = _pack_runs(tv, tc, sent_arr, Kout=Kout)
+        kc32, nz32 = jax.device_get(_run_stats(tc, sentinel=sentinel))
+        nnz += int(nz32)
+        kmax = max(kmax, int(kc32))
+        Kc_ = PACK_W if int(kc32) <= PACK_W else _round_up(int(kc32), 32)
+        ov, oc = _pack_runs(tv, tc, sent_arr, Kout=Kc_)
         ovs.append(ov)
         ocs.append(oc)
-    return (jnp.concatenate(ovs)[:n_pad], jnp.concatenate(ocs)[:n_pad],
-            Kout, nnz)
+    Kout = max(8, _round_up(kmax, 8))
+    wide = max(o.shape[1] for o in ovs)
+    ovs = [o if o.shape[1] == wide else
+           jnp.pad(o, ((0, 0), (0, wide - o.shape[1]))) for o in ovs]
+    ocs = [o if o.shape[1] == wide else
+           jnp.pad(o, ((0, 0), (0, wide - o.shape[1]))) for o in ocs]
+    if log is not None:
+        log(f"      spgemm[{tag}]: K={Kout} nnz={nnz} chunks={nch}")
+    return (jnp.concatenate(ovs)[:n_pad, :Kout],
+            jnp.concatenate(ocs)[:n_pad, :Kout], Kout, nnz)
 
 
 # ----------------------------------------------------------------------
@@ -606,6 +719,11 @@ def device_level0_ell(A: ShardedMatrix, cfg, *, A_host=None,
 
     def _phase(label):
         if log is not None:
+            # drain the dispatch queue so phase times attribute correctly
+            # (same as device_setup._phase; without it async work bleeds
+            # into whichever later phase first syncs)
+            jax.block_until_ready([x for x in jax.live_arrays()
+                                   if not x.is_deleted()])
             t = _time.perf_counter()
             log(f"    setup[dev-ell]: {label:24s} {t - t0:8.2f}s")
         return _time.perf_counter()
@@ -623,10 +741,14 @@ def device_level0_ell(A: ShardedMatrix, cfg, *, A_host=None,
     # --- strength + PMIS (host-identical tie-break order, exact int
     # ranks — see _stage1_jit docstring) ---
     theta = float(cfg.strong_threshold)
-    from tpusolve.amg.device_setup import pmis_rank
-    rank = pmis_rank(seed, n, n_pad)
+    from tpusolve.amg.device_setup import (pmis_rank, pmis_rank_device,
+                                           use_host_rank)
+    if use_host_rank():
+        rank = jnp.asarray(pmis_rank(seed, n, n_pad))
+    else:
+        rank = pmis_rank_device(seed, n_pad)
     max_rounds = 10 * int(np.ceil(np.log2(n + 2))) + 20
-    S, state, diag = _stage1(vals, cols, jnp.asarray(rank), n=n,
+    S, state, diag = _stage1(vals, cols, rank, n=n,
                              theta=theta, max_rounds=max_rounds)
     Cmask = (state == 1).astype(dt)
     nc = int(jnp.sum(Cmask))
@@ -700,14 +822,32 @@ def device_level0_ell(A: ShardedMatrix, cfg, *, A_host=None,
     # never pays the device->host transfer; the closure runs only if the
     # caller actually drops to the host pipeline ---
     def _fetch_coarse_csr():
-        ell_v_h = np.asarray(Acv)
-        ell_c_h = np.asarray(Acc)
-        mask = ell_v_h != 0
-        counts_h = mask.sum(axis=1)
+        # compact the ELL to exact-nnz COO on device first: the padded
+        # planes are ~10x the live data and the device->host fetch rides
+        # the (slow) tunnel.  nnz_c is a static cap (counts runs, some of
+        # which may have cancelled to exactly 0 — hence the [:total] cut).
+        cap = max(int(nnz_c), 1)
+
+        @partial(jax.jit, static_argnames=("cap",))
+        def _compact(Av_, Ac_, cap):
+            mask2 = Av_ != 0
+            counts = jnp.sum(mask2, axis=1).astype(jnp.int32)
+            mask = mask2.reshape(-1)
+            pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            tgt = jnp.where(mask, pos, cap)
+            out_v = jnp.zeros((cap,), Av_.dtype).at[tgt].set(
+                Av_.reshape(-1), mode="drop")
+            out_c = jnp.zeros((cap,), jnp.int32).at[tgt].set(
+                Ac_.reshape(-1), mode="drop")
+            return out_v, out_c, counts, jnp.sum(mask)
+
+        out_v, out_c, counts, tot = jax.device_get(
+            _compact(Acv, Acc, cap=cap))
+        total = int(tot)
         indptr = np.zeros(nc + 1, np.int64)
-        np.cumsum(counts_h, out=indptr[1:])
-        Ah_c = sp.csr_matrix((ell_v_h[mask].astype(np.float64),
-                              ell_c_h[mask].astype(np.int64), indptr),
+        np.cumsum(counts[:nc], out=indptr[1:])
+        Ah_c = sp.csr_matrix((out_v[:total].astype(np.float64),
+                              out_c[:total].astype(np.int64), indptr),
                              shape=(nc, nc))
         # runs are emitted in ascending column order, but the raw
         # constructor leaves has_sorted_indices unset — assert it so the
