@@ -241,10 +241,20 @@ def _case_device_setup_256() -> dict:
     t0 = time.perf_counter()
     pre = boomeramg_setup(A, BoomerAMGConfig())
     setup_s = time.perf_counter() - t0
+    levels = pre.num_levels
+    del pre
+    # steady-state rerun (same semantics as the ell_setup case: the
+    # reference's BoomerAMGSetup has no compile phase, so the warm number
+    # is the apples-to-apples setup cost; cold pays one-time XLA
+    # trace/compile-cache lookups)
+    t0 = time.perf_counter()
+    pre = boomeramg_setup(A, BoomerAMGConfig())
+    warm_s = time.perf_counter() - t0
     return {"metric": "boomeramg_setup_256^3_device",
             "value": round(setup_s, 2), "unit": "s",
             "vs_baseline": round(60.0 / max(setup_s, 1e-9), 4),
-            "levels": pre.num_levels, "gen_s": round(gen_s, 2),
+            "warm_s": round(warm_s, 2),
+            "levels": levels, "gen_s": round(gen_s, 2),
             "note": "target <= 60 s at 16.8M rows (VERDICT r2 #2)"}
 
 
