@@ -131,11 +131,13 @@ class TestHierarchyParity:
         os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"] = "1"
         os.environ["TPUSOLVE_PMIS_HOST_RANK"] = "0"
         acs = {}
+        nnzs = {}
         try:
             for sym in ("1", "0"):
                 os.environ["TPUSOLVE_RAP_SYM"] = sym
                 pre = boomeramg_setup(A, cfg)
                 acs[sym] = _tosp(pre.levels[1].A)
+                nnzs[sym] = pre.levels[1].nnz
         finally:
             os.environ["TPUSOLVE_PMIS_HOST_RANK"] = "1"
             del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
@@ -143,6 +145,37 @@ class TestHierarchyParity:
         assert acs["1"].shape == acs["0"].shape
         d = abs(acs["1"] - acs["0"])
         assert (d.max() if d.nnz else 0.0) < 1e-10
+        # nnz METADATA must agree too, modulo the documented
+        # explicit-zero-twin difference (sym keeps both twins of entries
+        # whose direct sum cancels to exact 0.0; it may never EXCEED the
+        # full scan by more — a tail-chunk spill into the mirrored planes
+        # double-counts and inflates nnz_c/Kc, ADVICE r3 medium)
+        assert nnzs["0"] <= nnzs["1"] <= nnzs["0"] + max(
+            8, nnzs["0"] // 1000), nnzs
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("interp_type,cycle", [(0, 1), (3, 1), (0, 2)])
+    def test_production_defaults_converge(self, mesh1, interp_type, cycle):
+        """Coverage leg for the PRODUCTION configuration (ADVICE r3 low):
+        device-generated PMIS ranks + symmetric-RAP halving, which the
+        suite's global TPUSOLVE_PMIS_HOST_RANK=1 pin otherwise bypasses.
+        Parity-insensitive check: multilevel hierarchies under several
+        interp/cycle configs must still solve Laplace at host-grade rates."""
+        from tpusolve.krylov.cg import pcg_setup
+        cfg = BoomerAMGConfig(max_coarse_size=32, interp_type=interp_type,
+                              cycle_type=cycle)
+        A, b, _ = laplace27(mesh1, 12, 12, 12, dtype=np.float64)
+        os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"] = "1"
+        os.environ["TPUSOLVE_PMIS_HOST_RANK"] = "0"
+        try:
+            assert not device_setup.use_host_rank()
+            pre = boomeramg_setup(A, cfg)
+        finally:
+            os.environ["TPUSOLVE_PMIS_HOST_RANK"] = "1"
+            del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
+        assert pre.num_levels >= 3
+        r = pcg_setup(A, pre.apply, tol=1e-8, maxiter=60)(b)
+        assert bool(r.converged) and int(r.iters) <= 15
 
     def test_device_rank_mode_converges(self, mesh1):
         """Production default (device-generated PMIS tie-break permutation,
@@ -164,6 +197,7 @@ class TestHierarchyParity:
         assert bool(r.converged) and int(r.iters) <= 15
 
 
+@pytest.mark.slow
 class TestShardedDeviceSetup:
     """Multi-part (sharded) device setup (amg/device_setup_sharded.py) vs
     the all-host pipeline on the same global operator."""

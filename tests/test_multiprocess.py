@@ -45,6 +45,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_ingest_amg_solve(tmp_path):
     import gatefix
     m, r, s, n = gatefix.write_pressure_mm(str(tmp_path), 10, 10, 10)

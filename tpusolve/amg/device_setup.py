@@ -999,7 +999,11 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
     counts = jnp.zeros((nc,), jnp.int32)
     dims_t = tuple(int(d) for d in dims)
     for s in range(0, n_half, CHUNK):
-        sub = dcs[s:s + CHUNK]
+        # cap at n_half: in sym mode the tail chunk must not spill into
+        # the mirrored negative-dc planes (they are gathered by
+        # _gather_mirror; a direct scan would double-increment `counts`,
+        # inflating nnz_c/Kc and re-scanning those planes redundantly)
+        sub = dcs[s:min(s + CHUNK, n_half)]
         planes = _rap_scan(Avp, Pvp, comps, sub, groups, dims, dt, m)
         small, counts = _gather_chunk(planes, cidx, counts)
         Dv = _dv_write(Dv, small, jnp.int32(s))
@@ -1029,9 +1033,12 @@ def device_level0(A: ShardedMatrix, cfg, seed: int = 1234,
         log(f"      rap counts: K={Kc} nnz_c={nnz_c} "
             f"live_dcs={live_dcs} [{live_gb:5.2f} GB live]")
 
-    zero_dc_pos = next(i for i, dc in enumerate(dcs)
-                       if all(c == 0 for c in dc))
-    dmain = Dv[zero_dc_pos]
+    zero_dc_pos = next((i for i, dc in enumerate(dcs)
+                        if all(c == 0 for c in dc)), None)
+    if zero_dc_pos is None:  # coarse lattice lost the zero offset: no
+        dmain = jnp.ones((nc,), dt)  # self-connections — unit-safe diag
+    else:
+        dmain = Dv[zero_dc_pos]
     shifts_np = np.asarray([_flat(dc, dims) for dc in dcs], np.int32)
     ell_v, ell_c = _pack_rap_ell(Dv, cidx, cnum, shifts_np, Kc, n)
     del Dv

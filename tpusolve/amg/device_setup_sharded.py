@@ -531,9 +531,12 @@ def device_level0_sharded(A: ShardedMatrix, cfg, lattice, seed: int = 1234,
         print(f"      rap[sharded]: K={Kc} nnz_c={nnz_c} ncap={ncap}",
               flush=True)
 
-    zero_dc_pos = next(i for i, dc in enumerate(dcs)
-                       if all(c == 0 for c in dc))
-    dmain = Dv[:, zero_dc_pos, :]                        # (P, ncap)
+    zero_dc_pos = next((i for i, dc in enumerate(dcs)
+                        if all(c == 0 for c in dc)), None)
+    if zero_dc_pos is None:  # no zero offset on this coarse lattice:
+        dmain = jnp.ones(Dv.shape[::2], Dv.dtype)  # unit-safe diagonal
+    else:
+        dmain = Dv[:, zero_dc_pos, :]                    # (P, ncap)
 
     # pack: cols come from the halo'd coarse-numbering plane at
     # coords(cidx) + dc + hc — a flat-index gather (no per-dc plane
