@@ -149,10 +149,15 @@ class TestHierarchyParity:
             # truncation: host pipeline
             assert not device_setup_ell.eligible(
                 A, BoomerAMGConfig(interp_type=3, trunc_factor=0.2), Ah)
-            # multi-part operators: not yet
+            # multi-part operators route to the SPMD pipeline (direct
+            # interpolation only for now)
             A8 = ShardedMatrix.from_csr_host(mesh8, scrambled_laplace(32),
-                                             dtype=np.float64)
-            assert not device_setup_ell.eligible(A8, ok, None)
+                                             dtype=np.float64,
+                                             allow_bell=False,
+                                             allow_bdia=False)
+            assert device_setup_ell.eligible(A8, ok, None)
+            assert not device_setup_ell.eligible(
+                A8, BoomerAMGConfig(interp_type=0), None)
         finally:
             del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
 
@@ -179,6 +184,59 @@ class TestHierarchyParity:
                 assert (dP.max() if dP.nnz else 0.0) < 1e-11
                 dR = abs(_tosp(d.R) - P_d.T.tocsr())
                 assert (dR.max() if dR.nnz else 0.0) == 0.0
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("n_side", [40, 43])
+    def test_multipart_hierarchy_parity(self, mesh8, n_side):
+        """SPMD multi-part setup (amg/device_setup_ell_mp.py) on an
+        8-device mesh: hierarchies must equal the host pipeline's to
+        roundoff at EVERY level (fine level via the sharded pipeline,
+        coarse levels via its device recursion) — for uniform (40^2) and
+        remainder (43^2) row decompositions.  This is the north-star
+        path: distributed device BoomerAMGSetup on an arbitrary
+        unstructured operator (ref: src/HypreSystem.cpp:692 on the
+        file-loaded systems of :1021-1318, 1613-1969)."""
+        cfg = BoomerAMGConfig(interp_type=3, max_coarse_size=64)
+        Ah = scrambled_laplace(n_side)
+        A = ShardedMatrix.from_csr_host(mesh8, Ah, dtype=np.float64,
+                                        allow_bell=False, allow_bdia=False)
+        os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"] = "1"
+        try:
+            assert device_setup_ell.eligible(A, cfg, Ah)
+            pre_dev = boomeramg_setup(A, cfg, A_host=Ah)
+            assert any("generic ELL" in n for n in pre_dev.notes)
+            os.environ["TPUSOLVE_HOST_SETUP"] = "1"
+            try:
+                pre_host = boomeramg_setup(A, cfg, A_host=Ah)
+            finally:
+                del os.environ["TPUSOLVE_HOST_SETUP"]
+        finally:
+            del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
+        ld, lh = pre_dev.levels, pre_host.levels
+        assert len(ld) == len(lh)
+        for lvl, (d, h) in enumerate(zip(ld, lh)):
+            assert d.n == h.n
+            if lvl > 0:
+                dd = abs(_tosp(d.A) - _tosp(h.A))
+                assert (dd.max() if dd.nnz else 0.0) < 1e-10
+            if d.P is not None:
+                P_d, P_h = _tosp(d.P), _tosp(h.P)
+                assert P_d.shape == P_h.shape and P_d.nnz == P_h.nnz
+                dP = abs(P_d - P_h)
+                assert (dP.max() if dP.nnz else 0.0) < 1e-11
+                dR = abs(_tosp(d.R) - P_d.T.tocsr())
+                assert (dR.max() if dR.nnz else 0.0) == 0.0
+        # solve parity
+        from tpusolve.krylov.cg import pcg_setup
+        from tpusolve.matrix.vectors import to_device_vector
+        rng = np.random.default_rng(0)
+        b = to_device_vector(A.mesh, rng.standard_normal(A.shape[0]),
+                             np.asarray(A.row_offsets), A.row_pad,
+                             dtype=np.float64)
+        rd = pcg_setup(A, pre_dev.apply, tol=1e-8, maxiter=80)(b)
+        rh = pcg_setup(A, pre_host.apply, tol=1e-8, maxiter=80)(b)
+        assert bool(rd.converged) and bool(rh.converged)
+        assert int(rd.iters) == int(rh.iters)
 
     def test_classical_interp_lump_and_sign_branches(self, mesh1):
         """Classical interp's hat-entry sign filter and the d_ik == 0

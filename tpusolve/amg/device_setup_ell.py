@@ -57,13 +57,20 @@ MAX_ELL_K = 128
 
 
 def eligible(A: ShardedMatrix, cfg, A_host=None) -> bool:
-    """Whether the fine level can run the generic-ELL device setup."""
+    """Whether the fine level can run the generic-ELL device setup.
+
+    Single part: this module.  Multiple parts: the SPMD sharded pipeline
+    (amg/device_setup_ell_mp.py) — the distributed analog of the
+    reference's device BoomerAMGSetup on arbitrary file-loaded ParCSR
+    operators (src/HypreSystem.cpp:692, readers :1021-1318, 1613-1969)."""
     import os
     if os.environ.get("TPUSOLVE_HOST_SETUP", "0") == "1":
         return False
     if os.environ.get("TPUSOLVE_ELL_SETUP", "1") == "0":
         return False
-    if A.nparts != 1 or A.shape[0] != A.shape[1] or A.has_offd:
+    if not A.is_square:
+        return False
+    if A.nparts == 1 and A.has_offd:
         return False
     n = A.shape[0]
     if n >= 2**31:
@@ -74,7 +81,9 @@ def eligible(A: ShardedMatrix, cfg, A_host=None) -> bool:
     # stage one from (file-loaded systems keep A_host through assembly)
     has_ell = not (A.uses_dia or A.uses_bell or A.uses_bdia)
     if has_ell:
-        if A.diag_vals.shape[2] > MAX_ELL_K:
+        k = A.diag_vals.shape[2] + (A.offd_vals.shape[2] if A.nparts > 1
+                                    else 0)
+        if k > MAX_ELL_K:
             return False
     else:
         if A_host is None:
@@ -83,6 +92,10 @@ def eligible(A: ShardedMatrix, cfg, A_host=None) -> bool:
             return False
     if not config_eligible(cfg):
         return False
+    if A.nparts > 1:
+        # the sharded pipeline currently implements direct interpolation
+        # (row-local given ghosted C data); classical is single-part only
+        return cfg.interp_type == 3
     # direct (3) is row-local; classical (0) runs the chunked distance-2
     # formulation (_interp_classical_ell)
     return cfg.interp_type in (0, 3)
@@ -723,6 +736,10 @@ def device_level0_ell(A: ShardedMatrix, cfg, *, A_host=None,
 
     Returns the same result dict as device_setup.device_level0, or None
     if coarsening stalls (caller falls back to the host pipeline)."""
+    if A.nparts > 1:
+        from tpusolve.amg.device_setup_ell_mp import device_level0_ell_mp
+        return device_level0_ell_mp(A, cfg, A_host=A_host, seed=seed,
+                                    log=log)
     t0 = _time.perf_counter()
 
     def _phase(label):
