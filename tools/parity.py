@@ -76,9 +76,11 @@ def run_fixture(fx: dict, mesh):
                              dtype=np.float64)
         A_host = Ah
 
+    extra = {k: s[k] for k in ("relax_type", "cheby_order",
+                               "cheby_variant", "relax_order") if k in s}
     cfg = BoomerAMGConfig(strong_threshold=theta, num_sweeps=sweeps,
                           interp_type=int(s.get("interp_type", 0)),
-                          max_coarse_size=64)
+                          max_coarse_size=64, **extra)
     pre = boomeramg_setup(A, cfg, A_host=A_host)
     tol = float(s.get("tolerance", 1e-8))
     if fx["solver"].startswith("gmres"):
