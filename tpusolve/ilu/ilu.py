@@ -206,6 +206,11 @@ class ILUPreconditioner:
 def ilu_setup(A: ShardedMatrix, config: ILUConfig | None = None, *,
               A_host: sp.csr_matrix | None = None) -> ILUPreconditioner:
     cfg = config or ILUConfig()
+    from tpusolve.ilu import device_setup as _dev
+    if _dev.eligible(A, cfg):
+        # DIA-layout ILU(0): factor on device — no global host CSR at any
+        # scale (ref: device ILU setup, src/HypreSystem.cpp:328-370)
+        return _dev.ilu_setup_device(A, cfg)
     notes: list[str] = []
     mesh = A.mesh
     dtype = A.dtype

@@ -521,7 +521,8 @@ def _dia_arrays_to_dict(offs, dia_one, box):
 
 
 def laplace27_host_parts(nparts: int, nx: int, ny: int, nz: int, *,
-                         pgrid: tuple[int, int, int] | None = None):
+                         pgrid: tuple[int, int, int] | None = None,
+                         dtype=np.float64):
     """Host-side structured payload for preconditioner setup.
 
     Returns ``(dia, offd)`` where ``dia`` maps offset tuples (dz, dy, dx) to
@@ -534,11 +535,11 @@ def laplace27_host_parts(nparts: int, nx: int, ny: int, nz: int, *,
     from tpusolve.mesh import compute_3d_process_distribution
     if pgrid is None:
         pgrid = compute_3d_process_distribution(nparts)
-    offs, dia_one = _dia_box(nx, ny, nz, np.float64)
+    offs, dia_one = _dia_box(nx, ny, nz, dtype)
     dia = _dia_arrays_to_dict(offs, dia_one, (nz, ny, nx))
     offd = []
     for part in range(nparts):
         (olr, ogc, ov), _ = _local_offd_and_rhs(part, nx, ny, nz, pgrid,
-                                                np.float64)
+                                                dtype)
         offd.append((olr, ogc, ov))
     return dia, offd
