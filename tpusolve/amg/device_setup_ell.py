@@ -359,23 +359,23 @@ def _interp_direct_jit(vals, cols, S, Cmask, cmap, diag, Kp):
 
 @partial(jax.jit, static_argnames=("Ksel", "fillcol"))
 def _pack_sel_jit(vals, cols, mask, Ksel, fillcol):
-    """Cursor-pack masked slots of an (n, K) ELL into (n, Ksel); dead
-    slots carry val 0 / col ``fillcol``.  Returns (vals, cols, counts)."""
+    """Left-pack masked slots of an (n, K) ELL into (n, Ksel); dead
+    slots carry val 0 / col ``fillcol``.  Returns (vals, cols, counts).
+
+    One row-sort on the slot index (kept slots keep their k, dropped
+    slots sort last) — the K-step cursor-scatter loop this replaces cost
+    ~20 ns/element on TPU (n*K scattered elements) vs a few ns/element
+    for the K-wide sort."""
     n_pad, K = vals.shape
-    rows = jnp.arange(n_pad, dtype=jnp.int32)
-
-    def body(k, carry):
-        ov, oc, cur = carry
-        mk = mask[:, k]
-        slot = jnp.where(mk, cur, Ksel)
-        ov = ov.at[rows, slot].set(vals[:, k], mode="drop")
-        oc = oc.at[rows, slot].set(cols[:, k], mode="drop")
-        return ov, oc, cur + mk.astype(jnp.int32)
-
-    ov = jnp.zeros((n_pad, Ksel), vals.dtype)
-    oc = jnp.full((n_pad, Ksel), fillcol, jnp.int32)
-    cur = jnp.zeros((n_pad,), jnp.int32)
-    ov, oc, cur = lax.fori_loop(0, K, body, (ov, oc, cur))
+    kidx = jnp.arange(K, dtype=jnp.int32)[None, :]
+    key = jnp.where(mask, kidx, jnp.int32(K))
+    key_s, v_s, c_s = lax.sort(
+        (jnp.broadcast_to(key, (n_pad, K)), vals, cols),
+        dimension=1, num_keys=1)
+    live = key_s < K
+    ov = jnp.where(live, v_s, 0.0).astype(vals.dtype)[:, :Ksel]
+    oc = jnp.where(live, c_s, fillcol)[:, :Ksel]
+    cur = jnp.sum(mask, axis=1, dtype=jnp.int32)
     return ov, oc, cur
 
 
@@ -455,7 +455,13 @@ def _classical_chunk_jit(fv, fc, scv, scc, ccnt, diag_row, weaksum_c,
         W = jnp.where(d != 0, fvt / jnp.where(d != 0, d, 1.0), 0.0)
         dlump = dlump + jnp.where(d == 0, fvt, 0.0)
         slot = jnp.where(member, s, Kc)
-        T = T.at[rowsC[:, None], slot].add(W[:, None] * hvm, mode="drop")
+        # scatter-free slot accumulation: contract against a fused one-hot
+        # of the slot ranks (the (C, K) element scatter-add this replaces
+        # cost ~20 ns/element on TPU; the compare streams into the dot)
+        onehot = (slot[:, :, None]
+                  == jnp.arange(Kc, dtype=jnp.int32)[None, None, :])
+        T = T + jnp.einsum("ck,cks->cs", W[:, None] * hvm,
+                           onehot.astype(vals.dtype))
         return T, dlump
 
     T0 = jnp.zeros((C_, Kc), vals.dtype)
@@ -471,27 +477,28 @@ def _classical_chunk_jit(fv, fc, scv, scc, ccnt, diag_row, weaksum_c,
 @partial(jax.jit, static_argnames=("Kp",))
 def _pack_p_from_w_jit(w, pcol, Cmask, cmap, Kp):
     """(w, pcol) (n_pad, Kc) weight planes -> P as (n_pad, Kp) ELL; F rows
-    keep nonzero weights (host P runs eliminate_zeros), C rows identity."""
+    keep nonzero weights (host P runs eliminate_zeros), C rows identity.
+    Left-pack by one row-sort on the slot index (see _pack_sel_jit for the
+    scatter-vs-sort economics)."""
     n_pad, Kc = w.shape
-    rows = jnp.arange(n_pad, dtype=jnp.int32)
     is_C = Cmask > 0
     keep = (w != 0) & ~is_C[:, None]
-
-    def body(k, carry):
-        ov, oc, cur = carry
-        kk = keep[:, k]
-        slot = jnp.where(kk, cur, Kp)
-        ov = ov.at[rows, slot].set(w[:, k], mode="drop")
-        oc = oc.at[rows, slot].set(pcol[:, k], mode="drop")
-        return ov, oc, cur + kk.astype(jnp.int32)
-
-    ov = jnp.zeros((n_pad, Kp), w.dtype)
-    oc = jnp.zeros((n_pad, Kp), jnp.int32)
-    cur = jnp.zeros((n_pad,), jnp.int32)
-    ov, oc, cur = lax.fori_loop(0, Kc, body, (ov, oc, cur))
+    kidx = jnp.arange(Kc, dtype=jnp.int32)[None, :]
+    key = jnp.where(keep, kidx, jnp.int32(Kc))
+    key_s, w_s, c_s = lax.sort(
+        (jnp.broadcast_to(key, (n_pad, Kc)), w, pcol),
+        dimension=1, num_keys=1)
+    live = key_s < Kc
+    ov = jnp.where(live, w_s, 0.0).astype(w.dtype)
+    oc = jnp.where(live, c_s, 0)
+    if Kp > Kc:
+        ov = jnp.pad(ov, ((0, 0), (0, Kp - Kc)))
+        oc = jnp.pad(oc, ((0, 0), (0, Kp - Kc)))
+    else:
+        ov, oc = ov[:, :Kp], oc[:, :Kp]
     ov = ov.at[:, 0].set(jnp.where(is_C, 1.0, ov[:, 0]))
     oc = oc.at[:, 0].set(jnp.where(is_C, cmap, oc[:, 0]))
-    nnz_p = jnp.sum(cur) + jnp.sum(is_C)
+    nnz_p = jnp.sum(keep) + jnp.sum(is_C)
     return ov, oc, nnz_p
 
 
@@ -607,20 +614,37 @@ def _run_stats(colsM, sentinel):
 
 @partial(jax.jit, static_argnames=("Kout",))
 def _pack_runs(valsM, colsM, sent_arr, Kout):
-    """SORTED (C, M) -> dedup-packed (C, Kout) ELL (segment scatter-add)."""
-    Cn = colsM.shape[0]
+    """SORTED (C, M) -> dedup-packed (C, Kout) ELL.
+
+    Scatter-free: TPU element scatters cost ~20 ns/element (measured — a
+    (C, M) segment scatter-add was 1.36 s/chunk, 95% of the spgemm phase,
+    vs 50 ms for the sort and 40 ms for the gather at the same shape), so
+    the segment sums come from a row cumsum differenced at run boundaries
+    (one axis-1 gather) and the boundary elements are left-compacted by a
+    second lax.sort on the masked column key."""
+    Cn, M = colsM.shape
     prev = jnp.concatenate(
         [jnp.full((Cn, 1), -1, colsM.dtype), colsM[:, :-1]], 1)
-    start = colsM != prev
+    nxt = jnp.concatenate(
+        [colsM[:, 1:], jnp.full((Cn, 1), -1, colsM.dtype)], 1)
     valid = colsM < sent_arr
-    run_id = jnp.cumsum(start.astype(jnp.int32), axis=1) - 1
-    run_id = jnp.where(valid, run_id, Kout)       # sentinel runs dropped
-    rows = jnp.arange(Cn, dtype=jnp.int32)[:, None]
-    ov = jnp.zeros((Cn, Kout), valsM.dtype).at[rows, run_id].add(
-        valsM, mode="drop")
-    oc = jnp.zeros((Cn, Kout), jnp.int32).at[rows, run_id].max(
-        jnp.where(valid, colsM, 0), mode="drop")
-    return ov, oc
+    start = colsM != prev
+    end = (colsM != nxt) & valid
+    # sentinel terms carry value 0 (zeroed in _expand_sorted), so the
+    # cumsum is unaffected by the tail region
+    csum = jnp.cumsum(valsM, axis=1)
+    idx = jnp.arange(M, dtype=jnp.int32)[None, :]
+    s_idx = lax.cummax(jnp.where(start, idx, 0), axis=1)  # my run's start
+    base = jnp.where(
+        s_idx > 0,
+        jnp.take_along_axis(csum, jnp.maximum(s_idx - 1, 0), axis=1), 0.0)
+    runsum = csum - base
+    key = jnp.where(end, colsM, sent_arr)     # run ends keep their column
+    key_s, val_s = lax.sort((key, runsum), dimension=1, num_keys=1)
+    oc = key_s[:, :Kout]
+    ov = val_s[:, :Kout]
+    ok = oc < sent_arr
+    return jnp.where(ok, ov, 0.0).astype(valsM.dtype), jnp.where(ok, oc, 0)
 
 
 def _chunked_product(Av, Acols, Bv, Bc, sentinel, log=None, tag=""):
