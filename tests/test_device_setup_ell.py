@@ -285,3 +285,51 @@ class TestHierarchyParity:
         A1_d, A1_h = _tosp(pre_dev.levels[1].A), _tosp(pre_host.levels[1].A)
         d = abs(A1_d - A1_h)
         assert (d.max() if d.nnz else 0.0) < 1e-10
+
+
+class TestPackHelpers:
+    """Unit tests for the scatter-free pack kernels (ADVICE r4)."""
+
+    def test_pack_runs_high_contrast(self):
+        """Segment sums must not inherit error from preceding runs: a
+        1e6-contrast prefix in the same row previously left ~2.0 abs
+        error on small late runs (cumsum-differencing); the segmented
+        scan keeps them to float32 roundoff."""
+        import jax.numpy as jnp
+        M, sent = 512, 2**31 - 1
+        rng = np.random.default_rng(3)
+        # one row: a huge first run, then many tiny runs
+        cols = np.sort(rng.integers(0, 64, size=M)).astype(np.int32)
+        vals = rng.standard_normal(M).astype(np.float32) * 1e-3
+        vals[cols == cols[0]] += 1e6          # high-contrast leading run
+        ref = {}
+        for c, v in zip(cols, vals):
+            ref[int(c)] = ref.get(int(c), 0.0) + float(v)
+        ov, oc = device_setup_ell._pack_runs(
+            jnp.asarray(vals)[None, :], jnp.asarray(cols)[None, :],
+            jnp.int32(sent), Kout=64)
+        ov, oc = np.asarray(ov[0]), np.asarray(oc[0])
+        got = {int(c): float(v) for c, v in zip(oc, ov) if v != 0}
+        for c, v in ref.items():
+            if abs(v) < 1e-9:
+                continue
+            assert abs(got.get(c, 0.0) - v) < 1e-2 * max(1.0, abs(v)), \
+                (c, got.get(c), v)
+        # the small runs specifically: error must be ~1e-6-scale, not ~1
+        small = [c for c, v in ref.items() if abs(v) < 1.0 and c != cols[0]]
+        err = max(abs(got.get(c, 0.0) - ref[c]) for c in small)
+        assert err < 1e-4, err
+
+    def test_pack_sel_widens_when_ksel_exceeds_k(self):
+        """Ksel > K must pad (contract of the replaced cursor-scatter
+        implementation), not silently clamp to K."""
+        import jax.numpy as jnp
+        vals = jnp.asarray([[1.0, 0.0, 3.0]], jnp.float32)
+        cols = jnp.asarray([[5, 6, 7]], jnp.int32)
+        mask = jnp.asarray([[True, False, True]])
+        ov, oc, cnt = device_setup_ell._pack_sel_jit(
+            vals, cols, mask, Ksel=5, fillcol=9)
+        assert ov.shape == (1, 5) and oc.shape == (1, 5)
+        np.testing.assert_allclose(np.asarray(ov[0]), [1.0, 3.0, 0, 0, 0])
+        assert np.asarray(oc[0]).tolist() == [5, 7, 9, 9, 9]
+        assert int(cnt[0]) == 2

@@ -373,8 +373,14 @@ def _pack_sel_jit(vals, cols, mask, Ksel, fillcol):
         (jnp.broadcast_to(key, (n_pad, K)), vals, cols),
         dimension=1, num_keys=1)
     live = key_s < K
-    ov = jnp.where(live, v_s, 0.0).astype(vals.dtype)[:, :Ksel]
-    oc = jnp.where(live, c_s, fillcol)[:, :Ksel]
+    ov = jnp.where(live, v_s, 0.0).astype(vals.dtype)
+    oc = jnp.where(live, c_s, fillcol)
+    if Ksel > K:        # mirror _pack_p_from_w_jit: widen, never clamp
+        ov = jnp.pad(ov, ((0, 0), (0, Ksel - K)))
+        oc = jnp.pad(oc, ((0, 0), (0, Ksel - K)),
+                     constant_values=fillcol)
+    else:
+        ov, oc = ov[:, :Ksel], oc[:, :Ksel]
     cur = jnp.sum(mask, axis=1, dtype=jnp.int32)
     return ov, oc, cur
 
@@ -619,9 +625,16 @@ def _pack_runs(valsM, colsM, sent_arr, Kout):
     Scatter-free: TPU element scatters cost ~20 ns/element (measured — a
     (C, M) segment scatter-add was 1.36 s/chunk, 95% of the spgemm phase,
     vs 50 ms for the sort and 40 ms for the gather at the same shape), so
-    the segment sums come from a row cumsum differenced at run boundaries
-    (one axis-1 gather) and the boundary elements are left-compacted by a
-    second lax.sort on the masked column key."""
+    the segment sums come from a SEGMENTED inclusive scan that resets its
+    accumulator at run starts, and the boundary elements are
+    left-compacted by a second lax.sort on the masked column key.
+
+    (A plain row cumsum differenced at run boundaries is cheaper by one
+    log-scan but numerically wrong for high-contrast rows: a small run
+    late in the row inherits absolute error proportional to the preceding
+    prefix magnitude — measured ~2.0 abs error vs ~4e-7 at 1e6 contrast
+    in a 512-wide row — which can perturb small RAP couplings on exactly
+    the jump-coefficient problems AMG targets.)"""
     Cn, M = colsM.shape
     prev = jnp.concatenate(
         [jnp.full((Cn, 1), -1, colsM.dtype), colsM[:, :-1]], 1)
@@ -630,15 +643,13 @@ def _pack_runs(valsM, colsM, sent_arr, Kout):
     valid = colsM < sent_arr
     start = colsM != prev
     end = (colsM != nxt) & valid
-    # sentinel terms carry value 0 (zeroed in _expand_sorted), so the
-    # cumsum is unaffected by the tail region
-    csum = jnp.cumsum(valsM, axis=1)
-    idx = jnp.arange(M, dtype=jnp.int32)[None, :]
-    s_idx = lax.cummax(jnp.where(start, idx, 0), axis=1)  # my run's start
-    base = jnp.where(
-        s_idx > 0,
-        jnp.take_along_axis(csum, jnp.maximum(s_idx - 1, 0), axis=1), 0.0)
-    runsum = csum - base
+
+    def _seg(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av + bv), af | bf
+
+    runsum, _ = lax.associative_scan((_seg), (valsM, start), axis=1)
     key = jnp.where(end, colsM, sent_arr)     # run ends keep their column
     key_s, val_s = lax.sort((key, runsum), dimension=1, num_keys=1)
     oc = key_s[:, :Kout]
