@@ -150,14 +150,16 @@ class TestHierarchyParity:
             assert not device_setup_ell.eligible(
                 A, BoomerAMGConfig(interp_type=3, trunc_factor=0.2), Ah)
             # multi-part operators route to the SPMD pipeline (direct
-            # interpolation only for now)
+            # and classical-modified interpolation; ext+i stays host)
             A8 = ShardedMatrix.from_csr_host(mesh8, scrambled_laplace(32),
                                              dtype=np.float64,
                                              allow_bell=False,
                                              allow_bdia=False)
             assert device_setup_ell.eligible(A8, ok, None)
-            assert not device_setup_ell.eligible(
+            assert device_setup_ell.eligible(
                 A8, BoomerAMGConfig(interp_type=0), None)
+            assert not device_setup_ell.eligible(
+                A8, BoomerAMGConfig(interp_type=6), None)
         finally:
             del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
 
@@ -186,8 +188,9 @@ class TestHierarchyParity:
                 assert (dR.max() if dR.nnz else 0.0) == 0.0
 
     @pytest.mark.slow
-    @pytest.mark.parametrize("n_side", [40, 43])
-    def test_multipart_hierarchy_parity(self, mesh8, n_side):
+    @pytest.mark.parametrize("n_side,interp", [(40, 3), (43, 3), (40, 0),
+                                               (43, 0)])
+    def test_multipart_hierarchy_parity(self, mesh8, n_side, interp):
         """SPMD multi-part setup (amg/device_setup_ell_mp.py) on an
         8-device mesh: hierarchies must equal the host pipeline's to
         roundoff at EVERY level (fine level via the sharded pipeline,
@@ -195,8 +198,10 @@ class TestHierarchyParity:
         remainder (43^2) row decompositions.  This is the north-star
         path: distributed device BoomerAMGSetup on an arbitrary
         unstructured operator (ref: src/HypreSystem.cpp:692 on the
-        file-loaded systems of :1021-1318, 1613-1969)."""
-        cfg = BoomerAMGConfig(interp_type=3, max_coarse_size=64)
+        file-loaded systems of :1021-1318, 1613-1969).  interp 3 (direct)
+        and 0 (classical modified — the reference default) both run the
+        SPMD pipeline."""
+        cfg = BoomerAMGConfig(interp_type=interp, max_coarse_size=64)
         Ah = scrambled_laplace(n_side)
         A = ShardedMatrix.from_csr_host(mesh8, Ah, dtype=np.float64,
                                         allow_bell=False, allow_bdia=False)

@@ -93,9 +93,10 @@ def eligible(A: ShardedMatrix, cfg, A_host=None) -> bool:
     if not config_eligible(cfg):
         return False
     if A.nparts > 1:
-        # the sharded pipeline currently implements direct interpolation
-        # (row-local given ghosted C data); classical is single-part only
-        return cfg.interp_type == 3
+        # the sharded pipeline implements direct (3, row-local given
+        # ghosted C data) and classical-modified (0, distance-2 via one
+        # extra forward halo of ghost neighbor rows) interpolation
+        return cfg.interp_type in (0, 3)
     # direct (3) is row-local; classical (0) runs the chunked distance-2
     # formulation (_interp_classical_ell)
     return cfg.interp_type in (0, 3)

@@ -413,6 +413,193 @@ def _interp_direct_mp(mesh, axis, vals, ecols, S, state, cmapg, sidx,
 
 
 # ----------------------------------------------------------------------
+# stage 2b: classical-modified interpolation (interp_type 0), distance-2,
+# SPMD.  The reference's DEFAULT interpolation (no interp_type key ->
+# classical modified, src/HypreSystem.cpp:192-194; etc/hypre_app.yaml:38).
+#
+# Same formula as the single-part _interp_classical_ell / the host
+# interp.classical_interpolation:
+#
+#     P_ij = -( a_ij + sum_{k in F_i} a_ik * hat_a_kj / d_ik ) / tilde_a_ii
+#     d_ik = sum_{m in C_i} hat_a_km        (hat: sign opposite to a_kk)
+#     tilde_a_ii = a_ii + sum_{k in W_i} a_ik  (+ a_ik where d_ik = 0)
+#
+# The distance-2 term needs each strong-F neighbor's FULL matrix row.  A
+# strong-F neighbor may live on another part, so one extra forward halo
+# ships each ghost's whole A row — values, columns in GLOBAL fine ids
+# (converted before travel so both sides speak the same column space),
+# and its diagonal for the hat sign.  After that exchange the chunked
+# single-part formulation applies verbatim per part: sorted strong-C
+# global columns, membership rank by compare-count, scatter-free slot
+# accumulation through a one-hot contraction.  Rows are chunked inside a
+# lax.fori_loop (dynamic_slice), so the whole stage is ONE compile
+# regardless of part size.
+
+
+def _cwidths_mp(mesh, axis, S, ecols, state, sidx, gslot):
+    """(max strong-C width, max strong-F width) over all parts — sizes
+    the compacted packs (needs ghosted C flags: one forward halo)."""
+    def shard(S, ecols, state, sidx, gslot):
+        S, ecols, state, sidx, gslot = (a[0] for a in
+                                        (S, ecols, state, sidx, gslot))
+        isC = state == 1
+        isC_g = _gather_ghost(isC.astype(jnp.int32), sidx, gslot,
+                              axis) > 0
+        isC_ext = jnp.concatenate([isC, isC_g,
+                                   jnp.zeros((1,), jnp.bool_)])
+        isCcol = isC_ext[ecols]
+        kc = jnp.max(jnp.sum(S & isCcol, axis=1))
+        kf = jnp.max(jnp.sum(S & ~isCcol, axis=1))
+        return kc[None], kf[None]
+
+    spec = P(axis)
+    fn = shard_map(shard, mesh=mesh, in_specs=(spec,) * 5,
+                   out_specs=(spec,) * 2)
+    return jax.jit(fn)(S, ecols, state, sidx, gslot)
+
+
+def _interp_classical_mp(mesh, axis, vals, ecols, S, state, cmapg, sidx,
+                         gslot, gext, *, R, G, Kc, KF):
+    """P in (P, R, Kc) left-packed ELL: cols = GLOBAL coarse ids, routes =
+    ghost slot (-1 local).  Returns (Pv, Pcg, Prt, nnz_p, kp, dinv,
+    dinv_l1) per part.  Mirrors _interp_classical_ell exactly."""
+    E = R + G + 1
+    Ke = vals.shape[-1]
+    itemsize = np.dtype(vals.dtype).itemsize
+    chunk = max(256, min(R, (1 << 27) // max(Ke * 8 * itemsize, 1)))
+    chunk = _round_up(chunk, 256)
+    nch = (R + chunk - 1) // chunk
+    pad_to = nch * chunk
+    INF = jnp.int32(_I32_MAX)
+    from tpusolve.amg.device_setup_ell import _pack_sel_jit
+
+    def shard(vals, ecols, S, state, cmapg, sidx, gslot, gext):
+        (vals, ecols, S, state, cmapg, sidx, gslot, gext) = (
+            a[0] for a in (vals, ecols, S, state, cmapg, sidx, gslot,
+                           gext))
+        rows = jnp.arange(R, dtype=jnp.int32)
+        isC = state == 1
+        isC_g = _gather_ghost(isC.astype(jnp.int32), sidx, gslot,
+                              axis) > 0
+        cmapg_g = _gather_ghost(cmapg, sidx, gslot, axis)
+        isC_ext = jnp.concatenate([isC, isC_g,
+                                   jnp.zeros((1,), jnp.bool_)])
+        cmapg_ext = jnp.concatenate([cmapg, cmapg_g,
+                                     jnp.zeros((1,), cmapg.dtype)])
+
+        offd = ecols != rows[:, None]
+        diag = jnp.sum(jnp.where(~offd, vals, 0.0), axis=1)
+        weaksum = jnp.sum(jnp.where(offd & ~S, vals, 0.0), axis=1)
+        isCcol = isC_ext[ecols]
+        strongC = S & isCcol
+        strongF = S & ~isCcol
+
+        # ghost neighbor rows: values + GLOBAL columns + diagonal
+        gcols_row = gext[ecols]                        # (R, Ke)
+        vals_gh = _gather_ghost(vals, sidx, gslot, axis)
+        gcols_gh = _gather_ghost(gcols_row, sidx, gslot, axis)
+        diag_gh = _gather_ghost(diag, sidx, gslot, axis)
+        vals_ext = jnp.concatenate(
+            [vals, vals_gh, jnp.zeros((1, Ke), vals.dtype)])
+        gcols_ext = jnp.concatenate(
+            [gcols_row, gcols_gh, jnp.zeros((1, Ke), jnp.int32)])
+        diag_ext = jnp.concatenate([diag, diag_gh,
+                                    jnp.ones((1,), diag.dtype)])
+
+        # compact strong-C / strong-F (fillcol E-1: the inert tail row)
+        scv, sec, ccnt = _pack_sel_jit(vals, ecols, strongC, Ksel=Kc,
+                                       fillcol=E - 1)
+        fv, fe, _ = _pack_sel_jit(vals, ecols, strongF, Ksel=KF,
+                                  fillcol=E - 1)
+        scm = jnp.arange(Kc, dtype=jnp.int32)[None, :] < ccnt[:, None]
+        pcol = jnp.where(scm, cmapg_ext[sec], 0)
+        route = jnp.where(scm & (sec >= R), sec - jnp.int32(R), -1)
+        key = jnp.where(scm, gext[sec], INF)
+        key_s, scv_s, pcol_s, route_s = lax.sort(
+            (key, scv, pcol, route), dimension=1, num_keys=1)
+
+        def _pad(a):
+            return a if pad_to == R else jnp.pad(
+                a, ((0, pad_to - R),) + ((0, 0),) * (a.ndim - 1))
+
+        fv_p, fe_p = _pad(fv), _pad(fe)
+        key_p, scv_p = _pad(key_s), _pad(scv_s)
+        diag_p, weak_p = _pad(diag), _pad(weaksum)
+
+        def chunk_body(c, w_all):
+            fvc = lax.dynamic_slice(fv_p, (c * chunk, 0), (chunk, KF))
+            fec = lax.dynamic_slice(fe_p, (c * chunk, 0), (chunk, KF))
+            keyc = lax.dynamic_slice(key_p, (c * chunk, 0), (chunk, Kc))
+            scvc = lax.dynamic_slice(scv_p, (c * chunk, 0), (chunk, Kc))
+            diagc = lax.dynamic_slice(diag_p, (c * chunk,), (chunk,))
+            weakc = lax.dynamic_slice(weak_p, (c * chunk,), (chunk,))
+
+            def body(t, carry):
+                T, dlump = carry
+                k = fec[:, t]
+                bv = vals_ext[k]                       # (chunk, Ke)
+                bc = gcols_ext[k]
+                hv = jnp.where(bv * diag_ext[k][:, None] < 0, bv, 0.0)
+                s = jnp.sum((keyc[:, None, :] < bc[:, :, None])
+                            .astype(jnp.int32), axis=2)
+                cand = jnp.take_along_axis(
+                    keyc, jnp.minimum(s, Kc - 1), axis=1)
+                member = (cand == bc) & (s < Kc)
+                hvm = jnp.where(member, hv, 0.0)
+                d = jnp.sum(hvm, axis=1)
+                fvt = fvc[:, t]
+                W = jnp.where(d != 0,
+                              fvt / jnp.where(d != 0, d, 1.0), 0.0)
+                dlump = dlump + jnp.where(d == 0, fvt, 0.0)
+                slot = jnp.where(member, s, Kc)
+                onehot = (slot[:, :, None]
+                          == jnp.arange(Kc, dtype=jnp.int32)[None, None,
+                                                             :])
+                T = T + jnp.einsum("ck,cks->cs", W[:, None] * hvm,
+                                   onehot.astype(vals.dtype))
+                return T, dlump
+
+            T0 = jnp.zeros((chunk, Kc), vals.dtype)
+            T, dlump = lax.fori_loop(0, KF, body,
+                                     (T0, jnp.zeros((chunk,),
+                                                    vals.dtype)))
+            dii = diagc + weakc + dlump
+            dii = jnp.where(dii != 0, dii, 1.0)
+            live = keyc < INF
+            wc = jnp.where(live, -(scvc + T) / dii[:, None], 0.0)
+            return lax.dynamic_update_slice(w_all, wc, (c * chunk, 0))
+
+        w = lax.fori_loop(0, nch, chunk_body,
+                          jnp.zeros((pad_to, Kc), vals.dtype))[:R]
+
+        # left-pack nonzero weights; C rows identity at slot 0
+        keep = (w != 0) & ~isC[:, None]
+        kidx = jnp.arange(Kc, dtype=jnp.int32)[None, :]
+        key2 = jnp.where(keep, kidx, jnp.int32(Kc))
+        key2_s, w_s, pcol2, route2 = lax.sort(
+            (jnp.broadcast_to(key2, (R, Kc)), w, pcol_s, route_s),
+            dimension=1, num_keys=1)
+        live2 = key2_s < Kc
+        Pv = jnp.where(live2, w_s, 0.0).astype(vals.dtype)
+        Pc = jnp.where(live2, pcol2, 0)
+        Prt = jnp.where(live2, route2, -1)
+        Pv = Pv.at[:, 0].set(jnp.where(isC, 1.0, Pv[:, 0]))
+        Pc = Pc.at[:, 0].set(jnp.where(isC, cmapg, Pc[:, 0]))
+        Prt = Prt.at[:, 0].set(jnp.where(isC, -1, Prt[:, 0]))
+        nnz_p = jnp.sum(keep) + jnp.sum(isC)
+        kp = jnp.max(jnp.sum(Pv != 0, axis=1))
+        d = jnp.where(diag != 0, diag, 1.0)
+        l1 = jnp.sum(jnp.abs(vals), axis=1)
+        return (Pv[None], Pc[None], Prt[None], nnz_p[None], kp[None],
+                (1.0 / d)[None], (1.0 / jnp.where(l1 != 0, l1, 1.0))[None])
+
+    spec = P(axis)
+    fn = shard_map(shard, mesh=mesh, in_specs=(spec,) * 8,
+                   out_specs=(spec,) * 7)
+    return jax.jit(fn)(vals, ecols, S, state, cmapg, sidx, gslot, gext)
+
+
+# ----------------------------------------------------------------------
 # chunked local sparse product (expand -> sort -> segment-pack), SPMD
 
 def _product_mp(mesh, axis, Av, Acols, Bv_ext, Bc_ext, *, sentinel, Kout,
@@ -468,6 +655,17 @@ def _product_mp(mesh, axis, Av, Acols, Bv_ext, Bc_ext, *, sentinel, Kout,
     fn = shard_map(shard, mesh=mesh, in_specs=(spec,) * 4,
                    out_specs=(spec,) * 4)
     return jax.jit(fn)(Av, Acols, Bv_ext, Bc_ext)
+
+
+@partial(jax.jit, static_argnames=("Kp",))
+def _fit_width_jit(Pv, Pc, Prt, Kp):
+    """Trim (left-packed) or widen the P planes to the final Kp."""
+    K0 = Pv.shape[-1]
+    if Kp <= K0:
+        return Pv[:, :, :Kp], Pc[:, :, :Kp], Prt[:, :, :Kp]
+    pad = ((0, 0), (0, 0), (0, Kp - K0))
+    return (jnp.pad(Pv, pad), jnp.pad(Pc, pad),
+            jnp.pad(Prt, pad, constant_values=-1))
 
 
 # ----------------------------------------------------------------------
@@ -574,13 +772,36 @@ def device_level0_ell_mp(A: ShardedMatrix, cfg, *, A_host=None,
         keep = S & isC_ext[ecols] & ~isC[:, None]
         return jnp.max(jnp.sum(keep, axis=1))[None]
 
-    pw_p = jax.jit(shard_map(_pw_shard, mesh=mesh, in_specs=(spec,) * 5,
-                             out_specs=spec))(S, state, ecols, sidx,
-                                              gslot)
-    Kp = max(8, _round_up(max(int(jnp.max(pw_p)), 1), 8))
-    Pv, Pcg, Prt, nnz_p_p, dinv, dinv_l1 = _interp_direct_mp(
-        mesh, axis, vals, ecols, S, state, cmapg, sidx, gslot,
-        R=R, G=G, Kp=Kp)
+    if cfg.interp_type == 0:
+        # classical modified (the reference default): distance-2 via one
+        # extra forward halo of ghost neighbor rows
+        co = np.asarray(A.col_offsets, np.int64)
+        E_ = R + G + 1
+        gext_h = np.zeros((Pn, E_), np.int32)
+        for p in range(Pn):
+            gext_h[p, :R] = co[p] + np.arange(R)
+            if G:
+                gext_h[p, R:R + G] = ghost_globals[p]
+        gext = put_sharded(gext_h, mesh, spec)
+        kc_p, kf_p = _cwidths_mp(mesh, axis, S, ecols, state, sidx,
+                                 gslot)
+        Kc = max(1, int(jnp.max(kc_p)))
+        KF = max(1, int(jnp.max(kf_p)))
+        (Pv, Pcg, Prt, nnz_p_p, kp_p, dinv,
+         dinv_l1) = _interp_classical_mp(
+            mesh, axis, vals, ecols, S, state, cmapg, sidx, gslot, gext,
+            R=R, G=G, Kc=Kc, KF=KF)
+        Kp = max(8, _round_up(max(int(jnp.max(kp_p)), 1), 8))
+        Pv, Pcg, Prt = _fit_width_jit(Pv, Pcg, Prt, Kp=Kp)
+    else:
+        pw_p = jax.jit(shard_map(_pw_shard, mesh=mesh,
+                                 in_specs=(spec,) * 5,
+                                 out_specs=spec))(S, state, ecols, sidx,
+                                                  gslot)
+        Kp = max(8, _round_up(max(int(jnp.max(pw_p)), 1), 8))
+        Pv, Pcg, Prt, nnz_p_p, dinv, dinv_l1 = _interp_direct_mp(
+            mesh, axis, vals, ecols, S, state, cmapg, sidx, gslot,
+            R=R, G=G, Kp=Kp)
     nnz_p = int(jnp.sum(nnz_p_p))
     del S
     _phase("interpolation")
