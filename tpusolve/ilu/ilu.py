@@ -207,10 +207,15 @@ def ilu_setup(A: ShardedMatrix, config: ILUConfig | None = None, *,
               A_host: sp.csr_matrix | None = None) -> ILUPreconditioner:
     cfg = config or ILUConfig()
     from tpusolve.ilu import device_setup as _dev
-    if _dev.eligible(A, cfg):
+    path = _dev._device_path(A, cfg)
+    if path == "dia":
         # DIA-layout ILU(0): factor on device — no global host CSR at any
         # scale (ref: device ILU setup, src/HypreSystem.cpp:328-370)
         return _dev.ilu_setup_device(A, cfg)
+    if path == "ell":
+        # generic-ELL ILU(0) (unstructured/file-loaded operators): masked
+        # Chow-Patel sweeps on device, block-Jacobi across parts
+        return _dev.ilu_setup_device_ell(A, cfg)
     notes: list[str] = []
     mesh = A.mesh
     dtype = A.dtype
