@@ -258,6 +258,7 @@ class TestBdiaXL:
         y_ref = sp.coo_matrix((v, (r, c)), shape=(n, n)) @ x
         np.testing.assert_allclose(y[:n], y_ref, rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.slow
     def test_xl_selected_when_x_exceeds_vmem_budget(self, rng, mesh8,
                                                     monkeypatch):
         from tpusolve.matrix import sharded as sh_mod

@@ -45,6 +45,7 @@ def _setup_pair(mesh, n, cfg):
 
 class TestHierarchyParity:
     @pytest.mark.parametrize("interp_type", [0, 3])
+    @pytest.mark.slow
     def test_identical_hierarchy(self, mesh1, interp_type):
         cfg = BoomerAMGConfig(max_coarse_size=64, interp_type=interp_type)
         A, b, pre_dev, pre_host = _setup_pair(mesh1, 16, cfg)
@@ -66,6 +67,7 @@ class TestHierarchyParity:
         dR = abs(R_d - P_d.T.tocsr())
         assert (dR.max() if dR.nnz else 0.0) == 0.0
 
+    @pytest.mark.slow
     def test_solve_convergence_matches(self, mesh1):
         from tpusolve.krylov.cg import pcg_setup
         cfg = BoomerAMGConfig(max_coarse_size=64)
@@ -75,6 +77,7 @@ class TestHierarchyParity:
         assert bool(rd.converged) and bool(rh.converged)
         assert int(rd.iters) == int(rh.iters)
 
+    @pytest.mark.slow
     def test_staged_interp_matches_fused(self, mesh1):
         """The memory-bounded staged classical interp (big grids) must
         produce the same hierarchy as the fused single-jit formulation."""
@@ -120,6 +123,7 @@ class TestHierarchyParity:
         finally:
             del os.environ["TPUSOLVE_HOST_SETUP"]
 
+    @pytest.mark.slow
     def test_symmetric_rap_matches_full_scan(self, mesh1):
         """Production mode halves the RAP term table via Galerkin symmetry
         (device_setup._gather_mirror).  The mirrored planes must agree
@@ -177,6 +181,7 @@ class TestHierarchyParity:
         r = pcg_setup(A, pre.apply, tol=1e-8, maxiter=60)(b)
         assert bool(r.converged) and int(r.iters) <= 15
 
+    @pytest.mark.slow
     def test_device_rank_mode_converges(self, mesh1):
         """Production default (device-generated PMIS tie-break permutation,
         TPUSOLVE_PMIS_HOST_RANK unset): the hierarchy differs from the

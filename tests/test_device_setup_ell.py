@@ -63,6 +63,7 @@ def _setup_pair(mesh, Ah, cfg):
 
 
 class TestHierarchyParity:
+    @pytest.mark.slow
     def test_identical_hierarchy(self, mesh1):
         cfg = BoomerAMGConfig(interp_type=3, max_coarse_size=64)
         Ah = scrambled_laplace(44)
@@ -88,6 +89,7 @@ class TestHierarchyParity:
                 dR = abs(_tosp(d.R) - P_d.T.tocsr())
                 assert (dR.max() if dR.nnz else 0.0) == 0.0
 
+    @pytest.mark.slow
     def test_solve_convergence_matches(self, mesh1):
         from tpusolve.krylov.cg import pcg_setup
         from tpusolve.matrix.vectors import to_device_vector
@@ -163,6 +165,7 @@ class TestHierarchyParity:
         finally:
             del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
 
+    @pytest.mark.slow
     def test_classical_interp_hierarchy(self, mesh1):
         """interp_type 0 (classical modified, distance-2) on the device
         path must reproduce the host hierarchy to roundoff at EVERY level
@@ -243,6 +246,7 @@ class TestHierarchyParity:
         assert bool(rd.converged) and bool(rh.converged)
         assert int(rd.iters) == int(rh.iters)
 
+    @pytest.mark.slow
     def test_classical_interp_lump_and_sign_branches(self, mesh1):
         """Classical interp's hat-entry sign filter and the d_ik == 0
         diagonal lumping, on an operator with positive off-diagonals and
@@ -266,6 +270,7 @@ class TestHierarchyParity:
         d = abs(_tosp(pre_dev.levels[1].A) - _tosp(pre_host.levels[1].A))
         assert (d.max() if d.nnz else 0.0) < 1e-10
 
+    @pytest.mark.slow
     def test_dirichlet_rows_and_positive_offdiag(self, mesh1):
         """Rows with no strong neighbors (Dirichlet identity rows) and
         positive off-diagonals exercise the alpha/beta/lump branches."""

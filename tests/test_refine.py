@@ -28,6 +28,7 @@ class TestRefinement:
         x = from_device_vector(res.x, A64.row_offsets, A64.row_pad)
         np.testing.assert_allclose(x, 1.0, rtol=1e-10)
 
+    @pytest.mark.slow
     def test_beats_plain_f32_true_residual(self, mesh8):
         from tpusolve.matrix.spmv import spmv
         A64, A32, b64, Ah = _both_precisions(mesh8, 6, 6, 4)

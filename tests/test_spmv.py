@@ -177,6 +177,7 @@ class TestDiaSelection:
                                    np.full(n, 2.0), allow_dia=False)
         assert not A.uses_dia
 
+    @pytest.mark.slow
     def test_dia_and_ell_agree(self, mesh8, rng):
         # same tridiagonal through both layouts
         n = 80

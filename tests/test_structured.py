@@ -97,6 +97,7 @@ class TestStructuredMG:
 
 
 class TestFastSetup:
+    @pytest.mark.slow
     def test_matches_scipy_path_exactly(self, mesh8):
         from tpusolve.amg.structured import structured_mg_setup_fast
         from tpusolve.stencil import laplace27_host_parts
