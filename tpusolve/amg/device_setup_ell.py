@@ -626,31 +626,34 @@ def _pack_runs(valsM, colsM, sent_arr, Kout):
     Scatter-free: TPU element scatters cost ~20 ns/element (measured — a
     (C, M) segment scatter-add was 1.36 s/chunk, 95% of the spgemm phase,
     vs 50 ms for the sort and 40 ms for the gather at the same shape), so
-    the segment sums come from a SEGMENTED inclusive scan that resets its
-    accumulator at run starts, and the boundary elements are
-    left-compacted by a second lax.sort on the masked column key.
+    the segment sums come from a Hillis-Steele doubling pass over the
+    sorted row — acc[j] += acc[j-s] while col[j-s] == col[j], s doubling —
+    and the boundary elements are left-compacted by a second lax.sort on
+    the masked column key.  Runs are contiguous equal-column spans, so
+    the column-equality guard is exactly the segment boundary, and each
+    run sums ONLY its own terms (exact: no cross-run differencing — a
+    row-wide cumsum differenced at run boundaries leaks absolute error
+    proportional to the preceding prefix into small late runs, measured
+    ~2.0 abs at 1e6 contrast in a 512-wide row).
 
-    (A plain row cumsum differenced at run boundaries is cheaper by one
-    log-scan but numerically wrong for high-contrast rows: a small run
-    late in the row inherits absolute error proportional to the preceding
-    prefix magnitude — measured ~2.0 abs error vs ~4e-7 at 1e6 contrast
-    in a 512-wide row — which can perturb small RAP couplings on exactly
-    the jump-coefficient problems AMG targets.)"""
+    HLO-size note: this unrolls to ~log2(M) shift+where+add steps — a
+    flat ~40-op graph.  Both lax.associative_scan and the cumsum+cummax
+    formulation are compile bombs on the remote-TPU relay at production
+    chunk shapes ((65536, 1024): >17 min / helper OOM-kill, measured
+    r5); this version compiles in seconds."""
     Cn, M = colsM.shape
-    prev = jnp.concatenate(
-        [jnp.full((Cn, 1), -1, colsM.dtype), colsM[:, :-1]], 1)
     nxt = jnp.concatenate(
         [colsM[:, 1:], jnp.full((Cn, 1), -1, colsM.dtype)], 1)
     valid = colsM < sent_arr
-    start = colsM != prev
     end = (colsM != nxt) & valid
 
-    def _seg(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av + bv), af | bf
-
-    runsum, _ = lax.associative_scan((_seg), (valsM, start), axis=1)
+    runsum = valsM
+    s = 1
+    while s < M:
+        sv = jnp.pad(runsum, ((0, 0), (s, 0)))[:, :M]
+        sc = jnp.pad(colsM, ((0, 0), (s, 0)), constant_values=-1)[:, :M]
+        runsum = runsum + jnp.where(sc == colsM, sv, 0.0)
+        s *= 2
     key = jnp.where(end, colsM, sent_arr)     # run ends keep their column
     key_s, val_s = lax.sort((key, runsum), dimension=1, num_keys=1)
     oc = key_s[:, :Kout]
