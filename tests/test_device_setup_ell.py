@@ -142,9 +142,12 @@ class TestHierarchyParity:
             # classical interpolation (distance-2): chunked device path
             assert device_setup_ell.eligible(
                 A, BoomerAMGConfig(interp_type=0), Ah)
-            # extended+i stays on the host pipeline
-            assert not device_setup_ell.eligible(
+            # extended+i (gate-3 pressure config): single-part device path
+            assert device_setup_ell.eligible(
                 A, BoomerAMGConfig(interp_type=6), Ah)
+            # multipass stays on the host pipeline
+            assert not device_setup_ell.eligible(
+                A, BoomerAMGConfig(interp_type=4), Ah)
             # aggressive coarsening: host pipeline
             assert not device_setup_ell.eligible(
                 A, BoomerAMGConfig(interp_type=3, agg_num_levels=1), Ah)
@@ -294,6 +297,55 @@ class TestHierarchyParity:
         assert (dP.max() if dP.nnz else 0.0) < 1e-12
         A1_d, A1_h = _tosp(pre_dev.levels[1].A), _tosp(pre_host.levels[1].A)
         d = abs(A1_d - A1_h)
+        assert (d.max() if d.nnz else 0.0) < 1e-10
+
+
+
+    @pytest.mark.slow
+    def test_exti_interp_hierarchy(self, mesh1):
+        """interp_type 6 (extended+i, distance-2 extended pattern) on the
+        device path must reproduce the host hierarchy to roundoff at
+        EVERY level - the gate-3 pressure config (tools/gatefix.py; ref
+        src/HypreSystem.cpp:205-216)."""
+        cfg = BoomerAMGConfig(interp_type=6, max_coarse_size=64)
+        Ah = scrambled_laplace(44, seed=2)
+        A, pre_dev, pre_host = _setup_pair(mesh1, Ah, cfg)
+        assert any("recursed on device" in n for n in pre_dev.notes)
+        ld, lh = pre_dev.levels, pre_host.levels
+        assert len(ld) == len(lh)
+        for lvl, (d, h) in enumerate(zip(ld, lh)):
+            assert d.n == h.n
+            if lvl > 0:
+                dd = abs(_tosp(d.A) - _tosp(h.A))
+                assert (dd.max() if dd.nnz else 0.0) < 1e-10
+            if d.P is not None:
+                P_d, P_h = _tosp(d.P), _tosp(h.P)
+                assert P_d.shape == P_h.shape
+                dP = abs(P_d - P_h)
+                assert (dP.max() if dP.nnz else 0.0) < 1e-11
+
+    def test_exti_interp_small_fixture(self, mesh1):
+        """Fast ext+i parity leg (stays in the not-slow tier): P and the
+        first coarse operator match the host on a small scrambled
+        operator with positive couplings and identity rows."""
+        Ah = scrambled_laplace(26, seed=9).tolil()
+        rng = np.random.default_rng(4)
+        for i in rng.integers(0, Ah.shape[0], size=8):
+            Ah.rows[i] = [int(i)]
+            Ah.data[i] = [1.0]
+        Ah = Ah.tocsr()
+        Ah = (Ah + sp.random(Ah.shape[0], Ah.shape[0], density=8e-4,
+                             random_state=2, data_rvs=lambda k: 0.12 *
+                             np.ones(k))).tocsr()
+        Ah = (Ah + Ah.T).tocsr() * 0.5
+        Ah.sort_indices()
+        cfg = BoomerAMGConfig(interp_type=6, max_coarse_size=32)
+        A, pre_dev, pre_host = _setup_pair(mesh1, Ah, cfg)
+        P_d, P_h = _tosp(pre_dev.levels[0].P), _tosp(pre_host.levels[0].P)
+        assert P_d.shape == P_h.shape and P_d.nnz == P_h.nnz
+        dP = abs(P_d - P_h)
+        assert (dP.max() if dP.nnz else 0.0) < 1e-12
+        d = abs(_tosp(pre_dev.levels[1].A) - _tosp(pre_host.levels[1].A))
         assert (d.max() if d.nnz else 0.0) < 1e-10
 
 

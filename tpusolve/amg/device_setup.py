@@ -97,10 +97,12 @@ def _flat(comps, dims):
 # ----------------------------------------------------------------------
 # eligibility
 
-def config_eligible(cfg) -> bool:
+def config_eligible(cfg, interp_types=(0, 3)) -> bool:
     """Config-only part of the device-setup gate (shared with the sharded
-    path and the harness' host-CSR-skip decision)."""
-    if cfg.interp_type not in (0, 3):
+    path and the harness' host-CSR-skip decision).  ``interp_types``:
+    which interpolations the CALLING path implements (the single-part
+    generic-ELL path adds extended+i, 6)."""
+    if cfg.interp_type not in interp_types:
         return False
     if cfg.coarsen_type not in (0, 8, 10):
         # Falgout/RS need the serial pass; hypre's device setup makes the

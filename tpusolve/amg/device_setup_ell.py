@@ -90,7 +90,7 @@ def eligible(A: ShardedMatrix, cfg, A_host=None) -> bool:
             return False
         if int(np.diff(A_host.tocsr().indptr).max()) > MAX_ELL_K:
             return False
-    if not config_eligible(cfg):
+    if not config_eligible(cfg, interp_types=(0, 3, 6)):
         return False
     if A.nparts > 1:
         # the sharded pipeline implements direct (3, row-local given
@@ -98,8 +98,10 @@ def eligible(A: ShardedMatrix, cfg, A_host=None) -> bool:
         # extra forward halo of ghost neighbor rows) interpolation
         return cfg.interp_type in (0, 3)
     # direct (3) is row-local; classical (0) runs the chunked distance-2
-    # formulation (_interp_classical_ell)
-    return cfg.interp_type in (0, 3)
+    # formulation (_interp_classical_ell); extended+i (6) the
+    # extended-pattern variant (_interp_exti_ell — the gate-3 pressure
+    # config, ref src/HypreSystem.cpp:205-216)
+    return cfg.interp_type in (0, 3, 6)
 
 
 # ----------------------------------------------------------------------
@@ -574,6 +576,218 @@ def _interp_classical_ell(vals, cols, S, Cmask, cmap, diag, log=None):
 
 
 # ----------------------------------------------------------------------
+# stage 2c: extended+i interpolation (interp_type 6), distance-2 with an
+# EXTENDED pattern.  Mirrors interp.extended_i_interpolation (De Sterck,
+# Falgout, Nolting, Yang 2008) exactly:
+#
+#     C_i^e  = C_i ∪ {C_k : k ∈ F_i^s}          (extended target set)
+#     w_ij   = -( a_ij + Σ_{k∈F_i^s} a_ik hat_a_kj / d_ik ) / tilde_a_ii
+#     d_ik   = Σ_{m∈C_i^e} hat_a_km + hat_a_ki              ("+i" term)
+#     tilde  = a_ii + Σ_{W_i} a_in + Σ_k a_ik hat_a_ki / d_ik  (backflow)
+#              (+ a_ik where d_ik = 0)
+#
+# Device formulation: the extended column set is built per row chunk as a
+# sort of [own offd cols (value a_ij, pattern = strong-C)] ++ [each
+# strong-F neighbor's packed strong-C cols (value 0, pattern = 1)], with
+# Hillis-Steele doubling passes collapsing runs (sum for values, OR for
+# the pattern flag) — pattern runs left-pack to the static width Kce.
+# The strong-F probe loop then rank-matches each neighbor's full row
+# against the extended sorted set (same compare-count machinery as the
+# classical path), accumulating T scatter-free via a one-hot contraction
+# plus the hat_a_ki backflow onto the diagonal.  The gate-3 pressure
+# config (interp_type 6, tools/gatefix.py; ref src/HypreSystem.cpp:
+# 205-216) runs this path on device.
+
+
+def _hillis_sum(vals, cols):
+    """Within-run inclusive sums over a column-SORTED row (runs =
+    contiguous equal columns); log2(M) static shift+where+add steps."""
+    M = vals.shape[1]
+    acc = vals
+    s = 1
+    while s < M:
+        sv = jnp.pad(acc, ((0, 0), (s, 0)))[:, :M]
+        sc = jnp.pad(cols, ((0, 0), (s, 0)), constant_values=-1)[:, :M]
+        acc = acc + jnp.where(sc == cols, sv, 0.0)
+        s *= 2
+    return acc
+
+
+def _hillis_or(flags, cols):
+    """Within-run inclusive OR (int32 max) over a column-SORTED row."""
+    M = flags.shape[1]
+    acc = flags
+    s = 1
+    while s < M:
+        sv = jnp.pad(acc, ((0, 0), (s, 0)))[:, :M]
+        sc = jnp.pad(cols, ((0, 0), (s, 0)), constant_values=-1)[:, :M]
+        acc = jnp.maximum(acc, jnp.where(sc == cols, sv, 0))
+        s *= 2
+    return acc
+
+
+def _exti_cat(vals_c, cols_c, offd_c, strongC_c, fv_c, fc_c, scv, scc,
+              ccnt, n_pad):
+    """Concatenated (cols, vals, pat) candidate pairs for the extended
+    set of one row chunk, sorted by column.  Neighbor strong-C cols are
+    fetched through the packed (n, Kc) planes; dead slots carry INF."""
+    C_, K = cols_c.shape
+    KF = fc_c.shape[1]
+    Kc = scc.shape[1]
+    INF = jnp.int32(_I32_MAX)
+    own_cols = jnp.where(offd_c & (vals_c != 0), cols_c, INF)
+    own_vals = jnp.where(own_cols < INF, vals_c, 0.0)
+    own_pat = strongC_c.astype(jnp.int32)
+    k = fc_c                                          # (C, KF)
+    nb_cols = scc[k]                                  # (C, KF, Kc)
+    nb_live = (jnp.arange(Kc, dtype=jnp.int32)[None, None, :]
+               < ccnt[k][:, :, None])
+    nb_live = nb_live & (fv_c != 0)[:, :, None]
+    nb_cols = jnp.where(nb_live, nb_cols, INF).reshape(C_, KF * Kc)
+    cat_c = jnp.concatenate([own_cols, nb_cols], axis=1)
+    cat_v = jnp.concatenate(
+        [own_vals, jnp.zeros((C_, KF * Kc), vals_c.dtype)], axis=1)
+    cat_p = jnp.concatenate(
+        [own_pat, nb_live.astype(jnp.int32).reshape(C_, KF * Kc)], axis=1)
+    c_s, v_s, p_s = lax.sort((cat_c, cat_v, cat_p), dimension=1,
+                             num_keys=1)
+    return c_s, v_s, p_s
+
+
+@jax.jit
+def _exti_width_jit(vals_c, cols_c, offd_c, strongC_c, fv_c, fc_c, scv,
+                    scc, ccnt):
+    """Max distinct extended-pattern columns over the chunk's rows."""
+    c_s, _, p_s = _exti_cat(vals_c, cols_c, offd_c, strongC_c, fv_c,
+                            fc_c, scv, scc, ccnt, 0)
+    INF = jnp.int32(_I32_MAX)
+    pat_run = _hillis_or(p_s, c_s)
+    nxt = jnp.concatenate(
+        [c_s[:, 1:], jnp.full((c_s.shape[0], 1), -1, c_s.dtype)], 1)
+    end = (c_s != nxt) & (c_s < INF) & (pat_run > 0)
+    return jnp.max(jnp.sum(end, axis=1))
+
+
+@partial(jax.jit, static_argnames=("Kce", "KF", "row0"))
+def _exti_chunk_jit(vals_c, cols_c, offd_c, strongC_c, fv_c, fc_c,
+                    diag_c, weak_c, scv, scc, ccnt, vals, cols, diag,
+                    Kce, KF, row0):
+    """One row chunk of the extended+i weights: returns (w, keyc) over
+    the extended sorted columns (INF on dead slots)."""
+    C_, K = vals_c.shape
+    INF = jnp.int32(_I32_MAX)
+    c_s, v_s, p_s = _exti_cat(vals_c, cols_c, offd_c, strongC_c, fv_c,
+                              fc_c, scv, scc, ccnt, 0)
+    val_run = _hillis_sum(v_s, c_s)
+    pat_run = _hillis_or(p_s, c_s)
+    nxt = jnp.concatenate(
+        [c_s[:, 1:], jnp.full((C_, 1), -1, c_s.dtype)], 1)
+    end = (c_s != nxt) & (c_s < INF) & (pat_run > 0)
+    key = jnp.where(end, c_s, INF)
+    key_s, aon_s = lax.sort((key, val_run), dimension=1, num_keys=1)
+    keyc = key_s[:, :Kce]
+    aon = jnp.where(keyc < INF, aon_s[:, :Kce], 0.0)
+
+    rows_i = row0 + jnp.arange(C_, dtype=jnp.int32)
+
+    def body(t, carry):
+        T, dlump, backflow = carry
+        k = fc_c[:, t]
+        bv = vals[k]                          # (C, K) full neighbor rows
+        bc = cols[k]
+        hv = jnp.where(bv * diag[k][:, None] < 0, bv, 0.0)
+        s = jnp.sum((keyc[:, None, :] < bc[:, :, None]).astype(jnp.int32),
+                    axis=2)                                   # (C, K)
+        cand = jnp.take_along_axis(keyc, jnp.minimum(s, Kce - 1), axis=1)
+        member = (cand == bc) & (s < Kce)
+        hvm = jnp.where(member, hv, 0.0)
+        hat_i = jnp.sum(jnp.where(bc == rows_i[:, None], hv, 0.0), axis=1)
+        d = jnp.sum(hvm, axis=1) + hat_i
+        fvt = fv_c[:, t]
+        W = jnp.where(d != 0, fvt / jnp.where(d != 0, d, 1.0), 0.0)
+        dlump = dlump + jnp.where(d == 0, fvt, 0.0)
+        backflow = backflow + W * hat_i
+        slot = jnp.where(member, s, Kce)
+        onehot = (slot[:, :, None]
+                  == jnp.arange(Kce, dtype=jnp.int32)[None, None, :])
+        T = T + jnp.einsum("ck,cks->cs", W[:, None] * hvm,
+                           onehot.astype(vals.dtype))
+        return T, dlump, backflow
+
+    z = jnp.zeros((C_,), vals.dtype)
+    T, dlump, backflow = lax.fori_loop(
+        0, KF, body, (jnp.zeros((C_, Kce), vals.dtype), z, z))
+    dii = diag_c + weak_c + dlump + backflow
+    dii = jnp.where(dii != 0, dii, 1.0)
+    live = keyc < INF
+    w = jnp.where(live, -(aon + T) / dii[:, None], 0.0)
+    return w, keyc
+
+
+def _interp_exti_ell(vals, cols, S, Cmask, cmap, diag, log=None):
+    """Extended+i interpolation, chunked.  Returns (Pv, Pc, nnz_p) in the
+    same ELL layout as the other interpolation stages."""
+    n_pad, K = (int(s) for s in vals.shape)
+    strongC, strongF, weaksum, kc32, kf32 = _classical_masks_jit(
+        vals, cols, S, Cmask)
+    Kc = max(1, int(kc32))
+    KF = max(1, int(kf32))
+    scv, scc, ccnt = _pack_sel_jit(vals, cols, strongC, Ksel=Kc, fillcol=0)
+    fv, fc, _ = _pack_sel_jit(vals, cols, strongF, Ksel=KF, fillcol=0)
+
+    rows = jnp.arange(n_pad, dtype=jnp.int32)[:, None]
+    offd = cols != rows
+
+    Wcat = K + KF * Kc
+    itemsize = np.dtype(vals.dtype).itemsize
+    budget = 1 << 28
+    chunk = max(256, min(n_pad, budget // max(Wcat * 12 * itemsize, 1)))
+    chunk = _round_up(chunk, 256)
+    nch = (n_pad + chunk - 1) // chunk
+
+    def _pad_rows(a):
+        want = nch * chunk
+        return a if a.shape[0] == want else jnp.pad(
+            a, ((0, want - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
+
+    vals_p, cols_p = _pad_rows(vals), _pad_rows(cols)
+    offd_p, sc_p = _pad_rows(offd), _pad_rows(strongC)
+    fv_p, fc_p = _pad_rows(fv), _pad_rows(fc)
+    diag_p, weak_p = _pad_rows(diag), _pad_rows(weaksum)
+    del strongC, strongF
+
+    # width pre-pass (async per chunk, one fetch)
+    widths = []
+    for c in range(nch):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        widths.append(_exti_width_jit(vals_p[sl], cols_p[sl], offd_p[sl],
+                                      sc_p[sl], fv_p[sl], fc_p[sl], scv,
+                                      scc, ccnt))
+    Kce = max(1, max(int(x) for x in jax.device_get(widths)))
+    Kce = _round_up(Kce, 4)
+    if log is not None:
+        log(f"      ext+i interp: KF={KF} Kc={Kc} Kce={Kce} chunks={nch}")
+
+    ws, keys = [], []
+    for c in range(nch):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        wc, kc_s = _exti_chunk_jit(
+            vals_p[sl], cols_p[sl], offd_p[sl], sc_p[sl], fv_p[sl],
+            fc_p[sl], diag_p[sl], weak_p[sl], scv, scc, ccnt, vals, cols,
+            diag, Kce=Kce, KF=KF, row0=c * chunk)
+        ws.append(wc)
+        keys.append(kc_s)
+    w = jnp.concatenate(ws)[:n_pad]
+    key_s = jnp.concatenate(keys)[:n_pad]
+    del ws, keys, vals_p, cols_p, offd_p, sc_p, fv_p, fc_p
+
+    pcol = cmap[jnp.where(key_s < _I32_MAX, key_s, 0)]
+    pw = int(jnp.max(jnp.sum(w != 0, axis=1)))
+    Kp = max(8, _round_up(max(pw, 1), 8))
+    return _pack_p_from_w_jit(w, pcol, Cmask, cmap, Kp=Kp)
+
+
+# ----------------------------------------------------------------------
 # sort-based sparse products (expand -> sort -> segment scatter-add)
 
 # shared pack width for _chunked_product chunks (see comment there)
@@ -825,6 +1039,9 @@ def device_level0_ell(A: ShardedMatrix, cfg, *, A_host=None,
     if cfg.interp_type == 0:
         Pv, Pc, nnz_p32 = _interp_classical_ell(vals, cols, S, Cmask,
                                                 cmap, diag, log=log)
+    elif cfg.interp_type == 6:
+        Pv, Pc, nnz_p32 = _interp_exti_ell(vals, cols, S, Cmask,
+                                           cmap, diag, log=log)
     else:
         pw = int(jnp.max(jnp.sum(
             S & (Cmask[jnp.where(S, cols, 0)] > 0) & (Cmask[:, None] == 0),
