@@ -125,7 +125,8 @@ def main() -> int:
     for r in recs:
         r["weak_efficiency"] = round(base / r["spmv_ms"], 3)
     with open(OUT, "w") as fh:
-        json.dump({"side": args.side, "results": recs}, fh, indent=1)
+        json.dump({"side": args.side, "results": recs,
+                   "_validity": "CORRECTNESS artifact only: virtual CPU devices on one host core measure serialization, not ICI scaling (no pod reachable here)"}, fh, indent=1)
     print(f"# weak-scaling efficiency at {recs[-1]['devices']} devices: "
           f"{recs[-1]['weak_efficiency']}", file=sys.stderr)
     return 0

@@ -25,9 +25,10 @@ with the same seeded tie-break randoms, so host and device hierarchies
 agree to roundoff — tested in tests/test_device_setup_ell.py.
 
 Eligibility: single-part square operators, PMIS-family coarsening,
-``interp_type`` 3 (direct — distance-1, row-local) or 0 (classical
+``interp_type`` 3 (direct — distance-1, row-local), 0 (classical
 modified — distance-2 via chunked neighbor-row gathers matched against
-the row's strong-C set), and the shared ``config_eligible`` gates.
+the row's strong-C set), or 6 (extended+i — the distance-2 extended
+pattern, single-part only), and the shared ``config_eligible`` gates.
 """
 
 from __future__ import annotations
