@@ -154,8 +154,8 @@ class TestHierarchyParity:
             # truncation: host pipeline
             assert not device_setup_ell.eligible(
                 A, BoomerAMGConfig(interp_type=3, trunc_factor=0.2), Ah)
-            # multi-part operators route to the SPMD pipeline (direct
-            # and classical-modified interpolation; ext+i stays host)
+            # multi-part operators route to the SPMD pipeline (direct,
+            # classical-modified AND extended+i interpolation)
             A8 = ShardedMatrix.from_csr_host(mesh8, scrambled_laplace(32),
                                              dtype=np.float64,
                                              allow_bell=False,
@@ -163,8 +163,10 @@ class TestHierarchyParity:
             assert device_setup_ell.eligible(A8, ok, None)
             assert device_setup_ell.eligible(
                 A8, BoomerAMGConfig(interp_type=0), None)
-            assert not device_setup_ell.eligible(
+            assert device_setup_ell.eligible(
                 A8, BoomerAMGConfig(interp_type=6), None)
+            assert not device_setup_ell.eligible(
+                A8, BoomerAMGConfig(interp_type=4), None)
         finally:
             del os.environ["TPUSOLVE_DEVICE_SETUP_MIN_N"]
 
@@ -195,7 +197,7 @@ class TestHierarchyParity:
 
     @pytest.mark.slow
     @pytest.mark.parametrize("n_side,interp", [(40, 3), (43, 3), (40, 0),
-                                               (43, 0)])
+                                               (43, 0), (40, 6), (43, 6)])
     def test_multipart_hierarchy_parity(self, mesh8, n_side, interp):
         """SPMD multi-part setup (amg/device_setup_ell_mp.py) on an
         8-device mesh: hierarchies must equal the host pipeline's to

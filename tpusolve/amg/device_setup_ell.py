@@ -95,9 +95,11 @@ def eligible(A: ShardedMatrix, cfg, A_host=None) -> bool:
         return False
     if A.nparts > 1:
         # the sharded pipeline implements direct (3, row-local given
-        # ghosted C data) and classical-modified (0, distance-2 via one
-        # extra forward halo of ghost neighbor rows) interpolation
-        return cfg.interp_type in (0, 3)
+        # ghosted C data), classical-modified (0, distance-2 via one
+        # extra forward halo of ghost neighbor rows) and extended+i
+        # (6, distance-2 extended pattern + a second-ring transpose
+        # plan) interpolation
+        return cfg.interp_type in (0, 3, 6)
     # direct (3) is row-local; classical (0) runs the chunked distance-2
     # formulation (_interp_classical_ell); extended+i (6) the
     # extended-pattern variant (_interp_exti_ell — the gate-3 pressure

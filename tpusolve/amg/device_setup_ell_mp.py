@@ -600,6 +600,277 @@ def _interp_classical_mp(mesh, axis, vals, ecols, S, state, cmapg, sidx,
 
 
 # ----------------------------------------------------------------------
+# stage 2c: extended+i interpolation (interp_type 6), SPMD.
+#
+# Same formulas as the single-part _interp_exti_ell (De Sterck, Falgout,
+# Nolting, Yang 2008).  Two distributed twists:
+#
+# * the extended set C_i^e needs each GHOST strong-F neighbor's strong-C
+#   set: one extra forward halo ships every row's packed strong-C
+#   columns — as (global fine id, global coarse id) pairs, because a
+#   distance-2 C point can be owned by a part that is NOT a mesh
+#   neighbor, so its coarse id cannot be derived locally;
+# * P's columns can therefore lie OUTSIDE the operator's ghost set
+#   (second ring).  The orchestrator builds a dedicated reverse plan
+#   from P's remote fine columns (host, O(seam) data — the same
+#   construction as the matrix halo plan) and the R = P^T / Ac seam
+#   machinery runs on that plan instead of the operator's.
+
+
+def _interp_exti_mp(mesh, axis, vals, ecols, S, state, cmapg, sidx,
+                    gslot, gext, rowcnt_d, part_ro_d, *, R, G, Kc, KF):
+    """Extended+i weights per part.  Returns (Pv, Pgf, Pcg, nnz_p, kp,
+    dinv, dinv_l1): left-packed (P, R, Kce) planes where ``Pgf`` carries
+    the GLOBAL FINE id of each coarse target (feeds the second-ring plan
+    build + routing) and ``Pcg`` the global coarse id."""
+    from tpusolve.amg.device_setup_ell import (_pack_sel_jit, _hillis_sum,
+                                               _hillis_or)
+    E = R + G + 1
+    Ke = vals.shape[-1]
+    itemsize = np.dtype(vals.dtype).itemsize
+    Wcat = Ke + KF * Kc
+    chunk = max(256, min(R, (1 << 27) // max(Wcat * 12 * itemsize, 1)))
+    chunk = _round_up(chunk, 256)
+    nch = (R + chunk - 1) // chunk
+    pad_to = nch * chunk
+    INF = jnp.int32(_I32_MAX)
+    # static extended width: every extended column is one of the
+    # (KF+1)*Kc pattern candidates, so the distinct count can never
+    # exceed it — a safe bound, no probe pass (a second full build)
+    Kce = _round_up(max((KF + 1) * Kc, 1), 4)
+
+    def shard(vals, ecols, S, state, cmapg, sidx, gslot, gext, rowcnt,
+              part_ro):
+        (vals, ecols, S, state, cmapg, sidx, gslot, gext, rowcnt,
+         part_ro) = (a[0] for a in (vals, ecols, S, state, cmapg, sidx,
+                                    gslot, gext, rowcnt, part_ro))
+        rows = jnp.arange(R, dtype=jnp.int32)
+        isC = state == 1
+        isC_g = _gather_ghost(isC.astype(jnp.int32), sidx, gslot,
+                              axis) > 0
+        cmapg_g = _gather_ghost(cmapg, sidx, gslot, axis)
+        isC_ext = jnp.concatenate([isC, isC_g,
+                                   jnp.zeros((1,), jnp.bool_)])
+        cmapg_ext = jnp.concatenate([cmapg, cmapg_g,
+                                     jnp.zeros((1,), cmapg.dtype)])
+
+        offd = ecols != rows[:, None]
+        diag = jnp.sum(jnp.where(~offd, vals, 0.0), axis=1)
+        weaksum = jnp.sum(jnp.where(offd & ~S, vals, 0.0), axis=1)
+        isCcol = isC_ext[ecols]
+        strongC = S & isCcol
+        strongF = S & ~isCcol
+
+        # ghost neighbor FULL rows (for the probe loop)
+        gcols_row = gext[ecols]
+        vals_gh = _gather_ghost(vals, sidx, gslot, axis)
+        gcols_gh = _gather_ghost(gcols_row, sidx, gslot, axis)
+        diag_gh = _gather_ghost(diag, sidx, gslot, axis)
+        vals_ext = jnp.concatenate(
+            [vals, vals_gh, jnp.zeros((1, Ke), vals.dtype)])
+        gcols_ext = jnp.concatenate(
+            [gcols_row, gcols_gh, jnp.full((1, Ke), -1, jnp.int32)])
+        diag_ext = jnp.concatenate([diag, diag_gh,
+                                    jnp.ones((1,), diag.dtype)])
+
+        # packed strong-C / strong-F
+        scv, sec, ccnt = _pack_sel_jit(vals, ecols, strongC, Ksel=Kc,
+                                       fillcol=E - 1)
+        fv, fe, _ = _pack_sel_jit(vals, ecols, strongF, Ksel=KF,
+                                  fillcol=E - 1)
+        scm = jnp.arange(Kc, dtype=jnp.int32)[None, :] < ccnt[:, None]
+        sc_gf = jnp.where(scm, gext[sec], INF)           # global fine
+        sc_gc = jnp.where(scm, cmapg_ext[sec], -1)       # global coarse
+        # ghost rows' strong-C packs (for the extended set): one halo of
+        # the (gf, gc, cnt) pack planes
+        sc_gf_gh = _gather_ghost(sc_gf, sidx, gslot, axis)
+        sc_gc_gh = _gather_ghost(sc_gc, sidx, gslot, axis)
+        ccnt_gh = _gather_ghost(ccnt, sidx, gslot, axis)
+        sc_gf_ext = jnp.concatenate(
+            [sc_gf, sc_gf_gh, jnp.full((1, Kc), INF, jnp.int32)])
+        sc_gc_ext = jnp.concatenate(
+            [sc_gc, sc_gc_gh, jnp.full((1, Kc), -1, jnp.int32)])
+        ccnt_ext = jnp.concatenate([ccnt, ccnt_gh,
+                                    jnp.zeros((1,), jnp.int32)])
+
+        own_cols = jnp.where(offd & (vals != 0), gcols_row, INF)
+        own_vals = jnp.where(own_cols < INF, vals, 0.0)
+        own_pat = strongC.astype(jnp.int32)
+        rows_gid = part_ro[0].astype(jnp.int32) + rows
+
+        def _pad(a):
+            return a if pad_to == R else jnp.pad(
+                a, ((0, pad_to - R),) + ((0, 0),) * (a.ndim - 1))
+
+        oc_p, ov_p = _pad(own_cols), _pad(own_vals)
+        sgf_p = _pad(jnp.where(scm, sc_gf, INF))
+        sgc_p = _pad(sc_gc)
+        fv_p, fe_p = _pad(fv), _pad(fe)
+        diag_p, weak_p = _pad(diag), _pad(weaksum)
+        rgid_p = _pad(rows_gid)
+
+        def chunk_body(c, carry):
+            w_all, gf_all, gc_all = carry
+            sl0 = c * chunk
+            occ = lax.dynamic_slice(oc_p, (sl0, 0), (chunk, Ke))
+            ovc = lax.dynamic_slice(ov_p, (sl0, 0), (chunk, Ke))
+            sgfc = lax.dynamic_slice(sgf_p, (sl0, 0), (chunk, Kc))
+            sgcc = lax.dynamic_slice(sgc_p, (sl0, 0), (chunk, Kc))
+            fvc = lax.dynamic_slice(fv_p, (sl0, 0), (chunk, KF))
+            fec = lax.dynamic_slice(fe_p, (sl0, 0), (chunk, KF))
+            diagc = lax.dynamic_slice(diag_p, (sl0,), (chunk,))
+            weakc = lax.dynamic_slice(weak_p, (sl0,), (chunk,))
+            rgc = lax.dynamic_slice(rgid_p, (sl0,), (chunk,))
+
+            # candidate pairs: own entries + own strong-C (as pattern
+            # with coarse ids) + neighbors' strong-C packs
+            k = fec
+            nb_gf = sc_gf_ext[k].reshape(chunk, KF * Kc)
+            nb_gc = sc_gc_ext[k].reshape(chunk, KF * Kc)
+            nb_live = ((jnp.arange(Kc, dtype=jnp.int32)[None, None, :]
+                        < ccnt_ext[k][:, :, None])
+                       & (fvc != 0)[:, :, None]).reshape(chunk, KF * Kc)
+            nb_gf = jnp.where(nb_live, nb_gf, INF)
+            cat_c = jnp.concatenate([occ, sgfc, nb_gf], axis=1)
+            cat_v = jnp.concatenate(
+                [ovc, jnp.zeros((chunk, Kc + KF * Kc), vals.dtype)],
+                axis=1)
+            # own entries ride as value-only (pat 0): the strong-C copy
+            # (sgfc — pat 1, val 0, coarse id) merges with them per run
+            cat_p = jnp.concatenate(
+                [jnp.zeros((chunk, Ke), jnp.int32),
+                 (sgfc < INF).astype(jnp.int32),
+                 nb_live.astype(jnp.int32)], axis=1)
+            cat_g = jnp.concatenate(
+                [jnp.full((chunk, Ke), -1, jnp.int32), sgcc,
+                 jnp.where(nb_live, nb_gc, -1)], axis=1)
+            c_s, v_s, p_s, g_s = lax.sort((cat_c, cat_v, cat_p, cat_g),
+                                          dimension=1, num_keys=1)
+            val_run = _hillis_sum(v_s, c_s)
+            pat_run = _hillis_or(p_s, c_s)
+            gc_run = _hillis_or(g_s, c_s)
+            nxt = jnp.concatenate(
+                [c_s[:, 1:], jnp.full((chunk, 1), -1, c_s.dtype)], 1)
+            end = (c_s != nxt) & (c_s < INF) & (pat_run > 0)
+            key = jnp.where(end, c_s, INF)
+            key_s, aon_s, gck = lax.sort((key, val_run, gc_run),
+                                         dimension=1, num_keys=1)
+            keyc = key_s[:, :Kce]
+            aon = jnp.where(keyc < INF, aon_s[:, :Kce], 0.0)
+            gck = jnp.where(keyc < INF, gck[:, :Kce], 0)
+
+            def body(t, carry2):
+                T, dlump, backflow = carry2
+                kk = fec[:, t]
+                bv = vals_ext[kk]
+                bc = gcols_ext[kk]
+                hv = jnp.where(bv * diag_ext[kk][:, None] < 0, bv, 0.0)
+                s = jnp.sum((keyc[:, None, :] < bc[:, :, None])
+                            .astype(jnp.int32), axis=2)
+                cand = jnp.take_along_axis(
+                    keyc, jnp.minimum(s, Kce - 1), axis=1)
+                member = (cand == bc) & (s < Kce)
+                hvm = jnp.where(member, hv, 0.0)
+                hat_i = jnp.sum(jnp.where(bc == rgc[:, None], hv, 0.0),
+                                axis=1)
+                d = jnp.sum(hvm, axis=1) + hat_i
+                fvt = fvc[:, t]
+                Wt = jnp.where(d != 0,
+                               fvt / jnp.where(d != 0, d, 1.0), 0.0)
+                dlump = dlump + jnp.where(d == 0, fvt, 0.0)
+                backflow = backflow + Wt * hat_i
+                slot = jnp.where(member, s, Kce)
+                onehot = (slot[:, :, None]
+                          == jnp.arange(Kce, dtype=jnp.int32)[None, None,
+                                                              :])
+                T = T + jnp.einsum("ck,cks->cs", Wt[:, None] * hvm,
+                                   onehot.astype(vals.dtype))
+                return T, dlump, backflow
+
+            z = jnp.zeros((chunk,), vals.dtype)
+            T, dlump, backflow = lax.fori_loop(
+                0, KF, body, (jnp.zeros((chunk, Kce), vals.dtype), z, z))
+            dii = diagc + weakc + dlump + backflow
+            dii = jnp.where(dii != 0, dii, 1.0)
+            live = keyc < INF
+            wc = jnp.where(live, -(aon + T) / dii[:, None], 0.0)
+            w_all = lax.dynamic_update_slice(w_all, wc, (sl0, 0))
+            gf_all = lax.dynamic_update_slice(gf_all, keyc, (sl0, 0))
+            gc_all = lax.dynamic_update_slice(gc_all, gck, (sl0, 0))
+            return w_all, gf_all, gc_all
+
+        w, gf, gc = lax.fori_loop(
+            0, nch, chunk_body,
+            (jnp.zeros((pad_to, Kce), vals.dtype),
+             jnp.full((pad_to, Kce), INF, jnp.int32),
+             jnp.zeros((pad_to, Kce), jnp.int32)))
+        w, gf, gc = w[:R], gf[:R], gc[:R]
+
+        # left-pack nonzero weights; C rows identity at slot 0
+        keep = (w != 0) & ~isC[:, None]
+        kidx = jnp.arange(Kce, dtype=jnp.int32)[None, :]
+        key2 = jnp.where(keep, kidx, jnp.int32(Kce))
+        key2_s, w_s, gf2, gc2 = lax.sort(
+            (jnp.broadcast_to(key2, (R, Kce)), w, gf, gc),
+            dimension=1, num_keys=1)
+        live2 = key2_s < Kce
+        Pv = jnp.where(live2, w_s, 0.0).astype(vals.dtype)
+        Pgf = jnp.where(live2, gf2, 0)
+        Pcg = jnp.where(live2, gc2, 0)
+        rows_gid = part_ro[0].astype(jnp.int32) + rows
+        Pv = Pv.at[:, 0].set(jnp.where(isC, 1.0, Pv[:, 0]))
+        Pgf = Pgf.at[:, 0].set(jnp.where(isC, rows_gid, Pgf[:, 0]))
+        Pcg = Pcg.at[:, 0].set(jnp.where(isC, cmapg, Pcg[:, 0]))
+        nnz_p = jnp.sum(keep) + jnp.sum(isC)
+        kp = jnp.max(jnp.sum(Pv != 0, axis=1))
+        d = jnp.where(diag != 0, diag, 1.0)
+        l1 = jnp.sum(jnp.abs(vals), axis=1)
+        return (Pv[None], Pgf[None], Pcg[None], nnz_p[None], kp[None],
+                (1.0 / d)[None], (1.0 / jnp.where(l1 != 0, l1, 1.0))[None])
+
+    spec = P(axis)
+    fn = shard_map(shard, mesh=mesh, in_specs=(spec,) * 10,
+                   out_specs=(spec,) * 7)
+    return jax.jit(fn)(vals, ecols, S, state, cmapg, sidx, gslot, gext,
+                       rowcnt_d, part_ro_d)
+
+
+def _ring2_plan(Pgf_h, Pv_h, rowcnt, ro):
+    """Second-ring reverse plan from P's remote fine columns.
+
+    Host construction (same shape as the matrix plan): per part, the
+    sorted unique remote gids become ghost slots; returns (sidx2 (P,P,S2),
+    gslot2 (P,G2), ghosts (P,G2) gids, G2, S2)."""
+    Pn = Pgf_h.shape[0]
+    ghost_lists = []
+    for p in range(Pn):
+        live = Pv_h[p] != 0
+        g = Pgf_h[p][live].astype(np.int64)
+        remote = (g < ro[p]) | (g >= ro[p + 1])
+        ghost_lists.append(np.unique(g[remote]))
+    G2 = max(1, max(g.size for g in ghost_lists))
+    send_counts = np.zeros((Pn, Pn), np.int64)
+    for q in range(Pn):
+        st = np.searchsorted(ghost_lists[q], ro)
+        send_counts[:, q] = np.diff(st)
+    S2 = max(1, int(send_counts.max()))
+    sidx2 = np.zeros((Pn, Pn, S2), np.int32)
+    gslot2 = np.zeros((Pn, G2), np.int32)
+    ghosts = np.full((Pn, G2), -1, np.int64)
+    for q in range(Pn):
+        gl = ghost_lists[q]
+        st = np.searchsorted(gl, ro)
+        owners = np.searchsorted(ro, gl, side="right") - 1
+        pos = np.arange(gl.size) - st[owners]
+        gslot2[q, :gl.size] = owners * S2 + pos
+        ghosts[q, :gl.size] = gl
+        for p in range(Pn):
+            seg = gl[st[p]:st[p + 1]] - ro[p]
+            sidx2[p, q, :seg.size] = seg
+    return sidx2, gslot2, ghosts, G2, S2
+
+
+# ----------------------------------------------------------------------
 # chunked local sparse product (expand -> sort -> segment-pack), SPMD
 
 def _product_mp(mesh, axis, Av, Acols, Bv_ext, Bc_ext, *, sentinel, Kout,
@@ -772,9 +1043,13 @@ def device_level0_ell_mp(A: ShardedMatrix, cfg, *, A_host=None,
         keep = S & isC_ext[ecols] & ~isC[:, None]
         return jnp.max(jnp.sum(keep, axis=1))[None]
 
-    if cfg.interp_type == 0:
-        # classical modified (the reference default): distance-2 via one
-        # extra forward halo of ghost neighbor rows
+    # transpose/seam plan: the operator's own halo plan by default; the
+    # ext+i branch swaps in a dedicated second-ring plan (distance-2
+    # coarse columns can lie outside the operator's ghost set)
+    sidx_T, gslot_T, G_T = sidx, gslot, G
+    if cfg.interp_type in (0, 6):
+        # distance-2 interpolations: both need the global-column view and
+        # the strong-C / strong-F widths
         co = np.asarray(A.col_offsets, np.int64)
         E_ = R + G + 1
         gext_h = np.zeros((Pn, E_), np.int32)
@@ -787,12 +1062,44 @@ def device_level0_ell_mp(A: ShardedMatrix, cfg, *, A_host=None,
                                  gslot)
         Kc = max(1, int(jnp.max(kc_p)))
         KF = max(1, int(jnp.max(kf_p)))
+    if cfg.interp_type == 0:
+        # classical modified (the reference default): distance-2 via one
+        # extra forward halo of ghost neighbor rows
         (Pv, Pcg, Prt, nnz_p_p, kp_p, dinv,
          dinv_l1) = _interp_classical_mp(
             mesh, axis, vals, ecols, S, state, cmapg, sidx, gslot, gext,
             R=R, G=G, Kc=Kc, KF=KF)
         Kp = max(8, _round_up(max(int(jnp.max(kp_p)), 1), 8))
         Pv, Pcg, Prt = _fit_width_jit(Pv, Pcg, Prt, Kp=Kp)
+    elif cfg.interp_type == 6:
+        # extended+i: extra halo of strong-C (fine gid, coarse gid)
+        # packs; P's remote fine columns then define the ring-2 plan
+        (Pv, Pgf, Pcg, nnz_p_p, kp_p, dinv,
+         dinv_l1) = _interp_exti_mp(
+            mesh, axis, vals, ecols, S, state, cmapg, sidx, gslot, gext,
+            rowcnt_d, put_sharded(ro[:-1].reshape(Pn, 1), mesh, spec),
+            R=R, G=G, Kc=Kc, KF=KF)
+        Kp = max(8, _round_up(max(int(jnp.max(kp_p)), 1), 8))
+        Pv, Pcg, Pgf = _fit_width_jit(Pv, Pcg, Pgf, Kp=Kp)
+        # host plan build from P's remote structure (O(P surface) data —
+        # same construction as the matrix halo plan)
+        Pv_h = fetch_host(Pv)
+        Pgf_h = fetch_host(Pgf)
+        sidx2_h, gslot2_h, ghosts2_h, G2, S2 = _ring2_plan(
+            Pgf_h, Pv_h, rowcnt, ro)
+        prt_h = np.full(Pgf_h.shape, -1, np.int32)
+        for p in range(Pn):
+            live = Pv_h[p] != 0
+            g = Pgf_h[p].astype(np.int64)
+            remote = live & ((g < ro[p]) | (g >= ro[p + 1]))
+            gl = ghosts2_h[p]
+            gl = gl[gl >= 0]
+            prt_h[p][remote] = np.searchsorted(
+                gl, g[remote]).astype(np.int32)
+        Prt = put_sharded(prt_h, mesh, spec)
+        sidx_T = put_sharded(sidx2_h, mesh, spec)
+        gslot_T = put_sharded(gslot2_h, mesh, spec)
+        G_T = G2
     else:
         pw_p = jax.jit(shard_map(_pw_shard, mesh=mesh,
                                  in_specs=(spec,) * 5,
@@ -835,8 +1142,9 @@ def device_level0_ell_mp(A: ShardedMatrix, cfg, *, A_host=None,
     _phase("A@P")
 
     # --- R = P^T as ext-coarse rows: local coarse first, ghost-slot rows
-    # after (seam contributions travel home later) ---
-    TR = ncl_pad + G
+    # after (seam contributions travel home later, on the transpose plan
+    # sidx_T/gslot_T — the ring-2 plan under ext+i) ---
+    TR = ncl_pad + G_T
 
     def _tcount_shard(Pv, Pcg, Prt, coff_d):
         Pv, Pcg, Prt, coff_l = (a[0] for a in (Pv, Pcg, Prt, coff_d))
@@ -896,7 +1204,7 @@ def device_level0_ell_mp(A: ShardedMatrix, cfg, *, A_host=None,
     # --- seam exchange + merge: ghost-slot rows of Ac/R travel to their
     # owners (reverse halo), land as extra slots keyed by the owner's
     # local coarse row, and one sort-pack dedups ---
-    Sp = int(fetch_host(sidx).shape[-1])
+    Sp = int(fetch_host(sidx_T).shape[-1])
 
     def _seam_shard(Acv, Acc, Rv, Rc, cmap, sidx, gslot, part_off):
         (Acv, Acc, Rv, Rc, cmap, sidx, gslot, part_off) = (
@@ -933,7 +1241,7 @@ def device_level0_ell_mp(A: ShardedMatrix, cfg, *, A_host=None,
     (ks_a, cs_a, vs_a, kx_a, ks_r, cs_r, vs_r, kx_r) = jax.jit(
         shard_map(_seam_shard, mesh=mesh, in_specs=(spec,) * 8,
                   out_specs=(spec,) * 8))(
-        Acv, Acc, Rv, Rc, cmap, sidx, gslot, part_off)
+        Acv, Acc, Rv, Rc, cmap, sidx_T, gslot_T, part_off)
     KxA = max(1, int(jnp.max(kx_a)))
     KxR = max(1, int(jnp.max(kx_r)))
 
