@@ -475,18 +475,61 @@ def _case_gate4_file() -> dict:
     return _run_gate_cli("gate4_momentum_ij_bicgstab_ilu_48^3", y4)
 
 
+_FULL_CASES = {
+    "bdia_unstructured": _case_bdia_unstructured,
+    "bdia_xl": _case_bdia_xl,
+    "flagship_solve": _case_flagship_solve,
+    "amg_setup": _case_amg_setup,
+    "device_setup_256": _case_device_setup_256,
+    "big_solve": _case_big_solve,
+    "ilu_device_setup": _case_ilu_device_setup,
+    "ell_setup": _case_ell_setup,
+    "gate3_file": _case_gate3_file,
+    "gate4_file": _case_gate4_file,
+}
+_NEEDS_SOL = ("bdia_unstructured", "bdia_xl")
+
+
+def _run_case(name: str, sol: float) -> dict:
+    case = _FULL_CASES[name]
+    return case(sol) if name in _NEEDS_SOL else case()
+
+
 def run_full(sol: float) -> int:
+    """Each heavy case runs in its OWN subprocess: a fresh TPU client
+    frees all HBM at exit (in one process, a 16.8M-row case's arrays
+    drain asynchronously and the next case OOMs — measured r5), and the
+    axon tunnel warm-up is terminal-side, so per-process cost is ~15 s.
+    The gate cases already subprocess the CLI themselves."""
+    import os
+    import subprocess
     results = []
-    for case in (_case_bdia_unstructured, _case_bdia_xl,
-                 _case_flagship_solve, _case_amg_setup,
-                 _case_device_setup_256, _case_big_solve,
-                 _case_ilu_device_setup, _case_ell_setup,
-                 _case_gate3_file, _case_gate4_file):
-        try:
-            r = (case(sol) if case in (_case_bdia_unstructured,
-                                       _case_bdia_xl) else case())
-        except Exception as e:  # keep the artifact even if one case dies
-            r = {"metric": case.__name__, "error": f"{type(e).__name__}: {e}"}
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ("/root/repo" + os.pathsep +
+                         env.get("PYTHONPATH", ""))
+    for name in _FULL_CASES:
+        if name.startswith("gate"):
+            try:
+                r = _run_case(name, sol)
+            except Exception as e:
+                r = {"metric": name, "error": f"{type(e).__name__}: {e}"}
+        else:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--case", name, f"--sol={sol}"],
+                capture_output=True, text=True, timeout=3600, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            r = None
+            for ln in reversed(p.stdout.splitlines()):
+                if ln.startswith("{"):
+                    try:
+                        r = json.loads(ln)
+                        break
+                    except json.JSONDecodeError:
+                        continue
+            if r is None:
+                r = {"metric": name, "error":
+                     f"subprocess rc={p.returncode}: {p.stderr[-400:]}"}
         print(json.dumps(r), flush=True)
         results.append(r)
     with open("BENCH_FULL.json", "w") as fh:
@@ -500,6 +543,18 @@ def main() -> int:
     from jax import lax
     from tpusolve.runtime import enable_compile_cache
     enable_compile_cache()
+    for a in sys.argv:
+        if a.startswith("--case"):      # child mode: one case, one line
+            name = (a.split("=", 1)[1] if "=" in a
+                    else sys.argv[sys.argv.index(a) + 1])
+            sol = next((float(x.split("=", 1)[1]) for x in sys.argv
+                        if x.startswith("--sol=")), 819.0)
+            try:
+                r = _run_case(name, sol)
+            except Exception as e:
+                r = {"metric": name, "error": f"{type(e).__name__}: {e}"}
+            print(json.dumps(r), flush=True)
+            return 0
     from tpusolve.mesh import make_mesh
     from tpusolve.stencil import laplace27
     from tpusolve.matrix.spmv import spmv

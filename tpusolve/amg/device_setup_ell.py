@@ -47,8 +47,12 @@ from tpusolve.amg.device_setup import (config_eligible, _ell_sharded,
                                        _round_up)
 
 # device path is worthwhile above this size (below it the host native
-# kernels are already fast and keep full config coverage)
-MIN_DEVICE_N = 1 << 18
+# kernels are already fast and keep full config coverage).  Measured
+# crossover (r5): the 64^3 = 2^18 gate-3 pressure system sets up in
+# 7.0 s through the native host kernels vs 28.8 s through the device
+# pipeline (chunk-compile amortization needs bigger rows), so the gate
+# sits ABOVE 2^18.
+MIN_DEVICE_N = 1 << 19
 # ELL width guard: (n, K) planes with K beyond this indicate a dense-ish
 # row profile the expansion products would blow up on.  128 admits the
 # coarse operators of 3-D stencil hierarchies (K=80 one level below a
