@@ -125,8 +125,14 @@ def _case_flagship_solve() -> dict:
     solve = pcg_setup(A, pre.apply, tol=1e-8, maxiter=100)
     res = solve(b)
     jax.block_until_ready(res.x)          # compile + first solve
+    # timed run solves a PERTURBED rhs: the relay caches results for
+    # byte-identical args, and a repeat solve of the same b can return
+    # in ~0.2 ms (measured r5) — not a real solve
+    import jax.numpy as jnp
+    b2 = jax.jit(lambda v: v * jnp.asarray(1.0009765625, v.dtype))(b)
+    jax.block_until_ready(b2)
     t0 = time.perf_counter()
-    res = solve(b)
+    res = solve(b2)
     jax.block_until_ready(res.x)
     solve_s = time.perf_counter() - t0
     return {"metric": "flagship_64^3_pfmg_pcg", "value": round(solve_s, 4),
@@ -281,13 +287,21 @@ def _case_big_solve() -> dict:
     gen_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     hp = laplace27_host_parts(1, side, side, side, dtype=np.float32)
-    pre = structured_mg_setup_fast(A, BoomerAMGConfig(), host_parts=hp)
+    # non-Galerkin truncation: pure Galerkin RAP carries 125-offset
+    # coarse stacks (4.4 GB at L1) that blow the 16 GB chip; stepped
+    # (fused=False) PCG bounds program temps to one iteration
+    pre = structured_mg_setup_fast(
+        A, BoomerAMGConfig(non_galerkin_tol=0.02), host_parts=hp)
     setup_s = time.perf_counter() - t0
-    solve = pcg_setup(A, pre.apply, tol=1e-8, maxiter=200)
+    del hp
+    solve = pcg_setup(A, pre.apply, tol=1e-8, maxiter=200, fused=False)
     res = solve(b)
     jax.block_until_ready(res.x)          # compile + first solve
-    t0 = time.perf_counter()
-    res = solve(b)
+    import jax.numpy as jnp
+    b2 = jax.jit(lambda v: v * jnp.asarray(1.0009765625, v.dtype))(b)
+    jax.block_until_ready(b2)             # perturbed rhs: relay caches
+    t0 = time.perf_counter()              # byte-identical repeat calls
+    res = solve(b2)
     jax.block_until_ready(res.x)
     solve_s = time.perf_counter() - t0
     return {"metric": "big_384^3_mg_pcg_56.6Mrow",
@@ -302,10 +316,14 @@ def _case_big_solve() -> dict:
 
 def _case_ilu_device_setup() -> dict:
     """Device ILU(0) setup at 224^3 = 11.2M rows (VERDICT r3 #5): a
-    momentum-like nonsymmetric DIA operator factors on device (Chow-Patel
-    plane sweeps, ilu/device_setup.py) — no global host CSR at any scale —
-    then BiCGSTAB+ILU solves to rtol 1e-8 (ref device ILU setup+solve,
-    src/HypreSystem.cpp:328-370)."""
+    momentum-like nonsymmetric DIA operator — upwind-skewed couplings
+    over a mass-dominated diagonal (the nalu-wind momentum class:
+    dt-scaled mass + convection + viscous; a PURE scaled Laplacian is
+    the pressure class, where ILU(0)-BiCGSTAB is not h-independent and
+    stalls past ~2M rows — measured) — factors on device (Chow-Patel
+    plane sweeps, ilu/device_setup.py), no global host CSR at any
+    scale; then BiCGSTAB+ILU solves to rtol 1e-8 (ref device ILU
+    setup+solve, src/HypreSystem.cpp:328-370)."""
     import jax
     import jax.numpy as jnp
     from tpusolve.mesh import make_mesh
@@ -321,7 +339,7 @@ def _case_ilu_device_setup() -> dict:
     mesh = make_mesh(1)
     A0, b, _ = laplace27(mesh, side, side, side, dtype=np.float32)
     offs = A0.dia_offsets
-    scale = np.array([1.0 if o == 0 else (1.25 if o > 0 else 0.8)
+    scale = np.array([1.3 if o == 0 else (1.25 if o > 0 else 0.8)
                       for o in offs], np.float32)
     sh = (1, len(offs)) + (1,) * (A0.dia_vals.ndim - 2)
     planes = jax.jit(lambda v: v * jnp.asarray(scale).reshape(sh))(
@@ -346,8 +364,10 @@ def _case_ilu_device_setup() -> dict:
     solve = bicgstab_setup(A, pre.apply, tol=1e-8, maxiter=300)
     res = solve(b)
     jax.block_until_ready(res.x)
-    t0 = time.perf_counter()
-    res = solve(b)
+    b2 = jax.jit(lambda v: v * jnp.asarray(1.0009765625, v.dtype))(b)
+    jax.block_until_ready(b2)             # perturbed rhs: relay caches
+    t0 = time.perf_counter()              # byte-identical repeat calls
+    res = solve(b2)
     jax.block_until_ready(res.x)
     solve_s = time.perf_counter() - t0
     return {"metric": "ilu_device_setup_224^3_11.2Mrow",

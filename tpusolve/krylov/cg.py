@@ -21,11 +21,22 @@ from tpusolve.krylov.common import (
 
 
 def pcg_setup(A, M=None, *, tol: float = 1e-5, atol: float = 0.0,
-              maxiter: int = 1000):
+              maxiter: int = 1000, fused: bool = True):
     """Build a jitted PCG solver closure for operator ``A`` and
-    preconditioner ``M`` (z = M(r))."""
+    preconditioner ``M`` (z = M(r)).
+
+    ``fused=False`` dispatches one jitted STEP per iteration (host loop)
+    instead of one while_loop program: XLA's buffer assignment for the
+    fused program must hold every iteration buffer plus the V-cycle's
+    temps simultaneously, which exceeds a 16 GB chip near ~50M rows
+    (measured r5 at 384^3); per-step programs bound temps to one
+    iteration at a ~30 ms/step dispatch cost — negligible when a step
+    costs hundreds of ms at that scale."""
     afn, astate = as_operator_pair(A)
     mfn, mstate = as_precond_pair(M)
+    if not fused:
+        return _pcg_stepped(afn, astate, mfn, mstate, tol=tol, atol=atol,
+                            maxiter=maxiter)
 
     @jax.jit
     def _solve(astate, mstate, b, x0):
@@ -69,6 +80,51 @@ def pcg_setup(A, M=None, *, tol: float = 1e-5, atol: float = 0.0,
         return _solve(astate, mstate, b, x0)
 
     solve._fn = _solve        # (astate, mstate, b, x0) -> SolveResult
+    solve._state = (astate, mstate)
+    return solve
+
+
+def _pcg_stepped(afn, astate, mfn, mstate, *, tol, atol, maxiter):
+    """Host-looped PCG: identical update formulas to the fused path."""
+    import numpy as np
+
+    @jax.jit
+    def _init(astate, mstate, b, x0):
+        x = jnp.zeros_like(b) if x0 is None else x0
+        bnorm = norm(b)
+        r = b - afn(astate, x)
+        z = mfn(mstate, r)
+        rz = dot(r, z)
+        return x, r, z, rz, norm(r), bnorm
+
+    @jax.jit
+    def _step(astate, mstate, x, r, p, rz):
+        Ap = afn(astate, p)
+        alpha = safe_div(rz, dot(p, Ap))
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = mfn(mstate, r)
+        rz_new = dot(r, z)
+        beta = safe_div(rz_new, rz)
+        p = z + beta * p
+        return x, r, p, rz_new, norm(r)
+
+    def solve(b, x0=None):
+        x, r, z, rz, rnorm, bnorm = _init(astate, mstate, b, x0)
+        target = max(tol * float(bnorm), atol)
+        hist = [float(rnorm)]
+        p = z
+        it = 0
+        while it < maxiter and hist[-1] > target:
+            x, r, p, rz, rnorm = _step(astate, mstate, x, r, p, rz)
+            hist.append(float(rnorm))
+            it += 1
+        relres = hist[-1] / float(bnorm) if float(bnorm) else 0.0
+        return SolveResult(
+            x=x, iters=jnp.int32(it), relres=jnp.asarray(relres),
+            converged=jnp.asarray(hist[-1] <= target),
+            history=jnp.asarray(np.asarray(hist, np.float64)))
+
     solve._state = (astate, mstate)
     return solve
 

@@ -581,7 +581,8 @@ class ShardedMatrix:
     @staticmethod
     def from_dia_parts(mesh, shape, dia_offsets, dia_vals, offd_parts, *,
                        dtype=None, row_offsets=None, col_offsets=None,
-                       axis: str = ROWS_AXIS, dia_shape=None):
+                       axis: str = ROWS_AXIS, dia_shape=None,
+                       dia_nnz: int | None = None):
         """Assemble directly from per-shard diagonal-format diag blocks.
 
         ``dia_vals``: (nparts, D, row_pad) host array — the diag block in
@@ -633,22 +634,51 @@ class ShardedMatrix:
                 diag_main[:] = dia_vals[:, dia_offsets.index(0), :]
             for p in range(nparts):
                 diag_main[p, int(row_counts[p]):] = 1.0
+        # nnz BEFORE the box reshape: any large reduce over the 5-D
+        # box-tiled layout exhausts the backend at 384^3 (measured r5),
+        # while the flat (P, D, R) layout counts fine.  Callers with an
+        # analytic count (stencil generators) pass dia_nnz and skip the
+        # 6 GB device reduce entirely.
+        if dia_nnz is not None:
+            nnz = int(dia_nnz) + offd_nnz
+        elif on_device:
+            import jax.numpy as jnp
+            from jax import lax
+
+            # per-plane: bounds the bool/int reduce temps to one plane,
+            # and per-plane counts fit int32 (a 1.5e9 total would not)
+            @jax.jit
+            def _plane_counts(v):
+                def body(d, acc):
+                    pl = lax.dynamic_slice_in_dim(v, d, 1, axis=1)
+                    return acc.at[d].set(
+                        jnp.sum(pl != 0, dtype=jnp.int32))
+
+                return lax.fori_loop(0, v.shape[1], body,
+                                     jnp.zeros((v.shape[1],), jnp.int32))
+
+            nnz = int(np.asarray(_plane_counts(dia_vals))
+                      .astype(np.int64).sum()) + offd_nnz
+        else:
+            nnz = int(np.count_nonzero(dia_vals)) + offd_nnz
         if dia_shape is not None:
             # store box-shaped: per-diagonal planes keep the tiled layout the
             # SpMV slices need (a flat (D, R) layout forces a relayout copy
             # per diagonal per SpMV -- measured 16x slowdown)
-            dia_vals = dia_vals.reshape((nparts, D) + tuple(dia_shape))
+            shp = (nparts, D) + tuple(dia_shape)
+            if on_device:
+                # donated: GB-scale device stacks must not copy
+                dia_vals = jax.jit(lambda v: v.reshape(shp),
+                                   donate_argnums=0)(dia_vals)
+            else:
+                dia_vals = dia_vals.reshape(shp)
 
         from tpusolve.mesh import put_sharded
         put = lambda a: (a if isinstance(a, jax.Array)
                          else put_sharded(a, mesh, P(axis)))
         if on_device:
-            import jax.numpy as jnp
-            nnz = int(jnp.count_nonzero(dia_vals)) + offd_nnz
             diag_main = jax.device_put(diag_main,
                                        NamedSharding(mesh, P(axis)))
-        else:
-            nnz = int(np.count_nonzero(dia_vals)) + offd_nnz
         dummy = np.zeros((nparts, row_pad, 1), dtype)
         return ShardedMatrix(
             diag_vals=put(dummy), diag_cols=put(dummy.astype(np.int32)),

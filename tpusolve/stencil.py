@@ -347,8 +347,14 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
         if nparts == 1:
             offs, gen = _dia_box_device(nx, ny, nz, dtype)
             dia_dev, rhs_dev = gen()
-            lat = dia_dev[None]        # no seams: lattice == box planes
-            dia_dev = dia_dev.reshape(1, 27, box)
+            # no seams: lattice == box planes (built only when asked —
+            # an eager [None] reshape is a full plane-stack copy)
+            lat = dia_dev[None] if with_lattice else None
+            # donated reshape: at 384^3 the 27-plane stack is 6.1 GB and
+            # an undonated reshape copy (x2 here, x3 with the box
+            # reshape in from_dia_parts) OOMs the 16 GB chip
+            dia_dev = jax.jit(lambda v: v.reshape(1, 27, box),
+                              donate_argnums=0)(dia_dev)
             offd_parts = [(np.zeros(0, np.int64), np.zeros(0, np.int64),
                            np.zeros(0, dtype))]
             b = jax.device_put(rhs_dev, sharding)
@@ -362,9 +368,14 @@ def laplace27(mesh, nx: int = 128, ny: int = 128, nz: int = 128, *,
                           for p in range(nparts)]
             b = jax.jit(lambda r: r.reshape(-1), out_shardings=sharding)(
                 rhs_dev)
+        # analytic diag-block nnz: 27-pt in-box couplings per part =
+        # prod_d (3 n_d - 2) (each axis shift c in {-1,0,1} keeps
+        # n_d - |c| planes)
+        box_nnz = nparts * (3 * nz - 2) * (3 * ny - 2) * (3 * nx - 2)
         A = ShardedMatrix.from_dia_parts(
             mesh, (n, n), offs, dia_dev, offd_parts,
-            dtype=dtype, axis=axis, dia_shape=(nz, ny, nx))
+            dtype=dtype, axis=axis, dia_shape=(nz, ny, nx),
+            dia_nnz=box_nnz)
         x_ref = jax.device_put(jnp.ones(n, dtype), sharding)
         if with_lattice:
             lattice = dict(stack=lat.reshape((nparts, 27, nz, ny, nx)),
