@@ -129,12 +129,33 @@ def _case_flagship_solve() -> dict:
     # byte-identical args, and a repeat solve of the same b can return
     # in ~0.2 ms (measured r5) — not a real solve
     import jax.numpy as jnp
-    b2 = jax.jit(lambda v: v * jnp.asarray(1.0009765625, v.dtype))(b)
-    jax.block_until_ready(b2)
+    # timing: N solves of distinctly-scaled rhs chained INSIDE one jit
+    # (the relay caches byte-identical results across processes, and a
+    # single 64^3 solve sits below the ~30 ms per-call round-trip
+    # floor), overhead-calibrated like the SpMV chains.  The time salt
+    # defeats the call-level result cache.
+    from jax import lax
+    fn = solve._fn
+    salt = np.float32((time.time_ns() % 997) * 1e-9)
+    N = 8
+
+    @jax.jit
+    def chain(astate, mstate, b, salt):
+        def body(k, acc):
+            bk = b * (1.0 + salt + k.astype(b.dtype) * 1e-6)
+            r = fn(astate, mstate, bk, None)
+            return acc + r.relres
+        return lax.fori_loop(0, N, body, jnp.asarray(0.0, b.dtype))
+
+    astate, mstate = solve._state
+    sj = jnp.asarray(salt, b.dtype)
+    float(chain(astate, mstate, b, sj))          # compile
+    ovh = time.perf_counter()
+    float(jnp.sum(b))
+    ovh = time.perf_counter() - ovh
     t0 = time.perf_counter()
-    res = solve(b2)
-    jax.block_until_ready(res.x)
-    solve_s = time.perf_counter() - t0
+    float(chain(astate, mstate, b, sj + jnp.asarray(1e-7, b.dtype)))
+    solve_s = max((time.perf_counter() - t0 - ovh) / N, 0.0)
     return {"metric": "flagship_64^3_pfmg_pcg", "value": round(solve_s, 4),
             "unit": "s_warm_solve", "iters": int(res.iters),
             "relres": float(res.relres), "setup_s": round(setup_s, 2),
@@ -264,22 +285,17 @@ def _case_device_setup_256() -> dict:
             "note": "target <= 60 s at 16.8M rows (VERDICT r2 #2)"}
 
 
-def _case_big_solve() -> dict:
-    """>=50M-row single-chip artifact (VERDICT r3 #4): 384^3 = 56.6M rows,
-    27-pt, f32 — on-device generation + structured-MG setup + PCG to
-    rtol 1e-8.  4.5x the north-star per-chip share (12.5M rows/chip on a
-    v5p-8; ref weak-scaling generator sized for exactly this,
-    src/HypreSystem.cpp:1487-1516)."""
+def _big_at(side: int) -> dict:
+    """One attempt at the big single-chip solve (runs in a child
+    process; see _case_big_solve)."""
     import jax
+    import jax.numpy as jnp
     from tpusolve.mesh import make_mesh
     from tpusolve.stencil import laplace27, laplace27_host_parts
     from tpusolve.config import BoomerAMGConfig
     from tpusolve.amg.structured import structured_mg_setup_fast
     from tpusolve.krylov.cg import pcg_setup
 
-    if jax.devices()[0].platform == "cpu":
-        return {"metric": "big_384^3_mg_pcg_56.6Mrow", "skipped": "cpu"}
-    side = 384
     mesh = make_mesh(1)
     t0 = time.perf_counter()
     A, b, _ = laplace27(mesh, side, side, side, dtype=np.float32)
@@ -287,24 +303,26 @@ def _case_big_solve() -> dict:
     gen_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     hp = laplace27_host_parts(1, side, side, side, dtype=np.float32)
-    # non-Galerkin truncation: pure Galerkin RAP carries 125-offset
-    # coarse stacks (4.4 GB at L1) that blow the 16 GB chip; stepped
-    # (fused=False) PCG bounds program temps to one iteration
+    # non-Galerkin truncation keeps coarse stacks <= 27 planes; stepped
+    # PCG bounds program temps to one iteration
     pre = structured_mg_setup_fast(
         A, BoomerAMGConfig(non_galerkin_tol=0.02), host_parts=hp)
     setup_s = time.perf_counter() - t0
     del hp
     solve = pcg_setup(A, pre.apply, tol=1e-8, maxiter=200, fused=False)
     res = solve(b)
-    jax.block_until_ready(res.x)          # compile + first solve
-    import jax.numpy as jnp
-    b2 = jax.jit(lambda v: v * jnp.asarray(1.0009765625, v.dtype))(b)
-    jax.block_until_ready(b2)             # perturbed rhs: relay caches
-    t0 = time.perf_counter()              # byte-identical repeat calls
+    float(res.relres)                     # compile + first solve
+    eps = np.float32(1.0 + (time.time_ns() % 997 + 1) * 1e-6)
+    b2 = jax.jit(lambda v, s: v * s)(b, jnp.asarray(eps, b.dtype))
+    jax.block_until_ready(b2)
+    ovh = time.perf_counter()
+    float(jnp.sum(b2))
+    ovh = time.perf_counter() - ovh
+    t0 = time.perf_counter()              # window ends on a scalar fetch
     res = solve(b2)
-    jax.block_until_ready(res.x)
-    solve_s = time.perf_counter() - t0
-    return {"metric": "big_384^3_mg_pcg_56.6Mrow",
+    float(res.relres)
+    solve_s = max(time.perf_counter() - t0 - ovh, 0.0)
+    return {"metric": f"big_{side}^3_mg_pcg_{A.shape[0]/1e6:.1f}Mrow",
             "value": round(solve_s, 3), "unit": "s_warm_solve",
             "rows": int(A.shape[0]), "iters": int(res.iters),
             "relres": float(res.relres), "converged": bool(res.converged),
@@ -312,6 +330,66 @@ def _case_big_solve() -> dict:
             "vs_baseline": round(A.shape[0] / (4 * 12.5e6), 3),
             "note": "rtol 1e-8; vs_baseline = rows / (4x the 12.5M-row "
                     "north-star per-chip share)"}
+
+
+def _case_big_solve_child() -> dict:
+    import os
+    side = int(os.environ["TPUSOLVE_BIG_ONESIDE"])
+    try:
+        return _big_at(side)
+    except Exception as e:
+        return {"metric": f"big_{side}^3",
+                "error": f"{type(e).__name__}: {str(e)[:140]}"}
+
+
+def _case_big_solve() -> dict:
+    """>=50M-row single-chip artifact (VERDICT r3 #4): 384^3 = 56.6M
+    rows, 27-pt, f32 — on-device generation + structured-MG setup
+    (non-Galerkin truncated coarse stacks) + stepped PCG to rtol 1e-8
+    (ref weak-scaling sizing, src/HypreSystem.cpp:1487-1516).
+
+    Adaptive: the axon environment's effective per-process HBM ceiling
+    rejects the 384^3 SOLVE at runtime (RESOURCE_EXHAUSTED on the first
+    V-cycle — measured r5 repeatedly, even with stepped fused=False PCG
+    and <=27-plane coarse stacks); smaller sides are tried in order,
+    each in its OWN subprocess (a failed attempt wedges the client
+    arena), and every attempt is recorded so the artifact states
+    exactly what ran where."""
+    import os
+    import subprocess
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        return {"metric": "big_384^3_mg_pcg_56.6Mrow", "skipped": "cpu"}
+    attempts = {}
+    sides = [int(s) for s in os.environ.get(
+        "TPUSOLVE_BIG_SIDES", "384,352,320").split(",")]
+    for side in sides:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = ("/root/repo" + os.pathsep
+                             + env.get("PYTHONPATH", ""))
+        env["TPUSOLVE_BIG_ONESIDE"] = str(side)
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--case", "big_solve_child"],
+                capture_output=True, text=True, timeout=3000, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            r = None
+            for ln in reversed(p.stdout.splitlines()):
+                if ln.startswith("{"):
+                    r = json.loads(ln)
+                    break
+            if r is not None and not r.get("error"):
+                if attempts:
+                    r["attempted"] = attempts
+                return r
+            attempts[side] = (r or {}).get(
+                "error", f"rc={p.returncode}: {p.stderr[-200:]}")
+        except Exception as e:
+            attempts[side] = f"{type(e).__name__}: {str(e)[:100]}"
+    return {"metric": "big_mg_pcg", "error": "no size fits",
+            "attempted": attempts}
 
 
 def _case_ilu_device_setup() -> dict:
@@ -364,12 +442,16 @@ def _case_ilu_device_setup() -> dict:
     solve = bicgstab_setup(A, pre.apply, tol=1e-8, maxiter=300)
     res = solve(b)
     jax.block_until_ready(res.x)
-    b2 = jax.jit(lambda v: v * jnp.asarray(1.0009765625, v.dtype))(b)
+    eps = np.float32(1.0 + (time.time_ns() % 997 + 1) * 1e-6)
+    b2 = jax.jit(lambda v, s: v * s)(b, jnp.asarray(eps, b.dtype))
     jax.block_until_ready(b2)             # perturbed rhs: relay caches
-    t0 = time.perf_counter()              # byte-identical repeat calls
+    ovh = time.perf_counter()             # byte-identical repeat calls
+    float(jnp.sum(b2))
+    ovh = time.perf_counter() - ovh
+    t0 = time.perf_counter()              # window ends on a scalar fetch
     res = solve(b2)
-    jax.block_until_ready(res.x)
-    solve_s = time.perf_counter() - t0
+    float(res.relres)
+    solve_s = max(time.perf_counter() - t0 - ovh, 0.0)
     return {"metric": "ilu_device_setup_224^3_11.2Mrow",
             "value": round(warm_s, 3), "unit": "s_warm_setup",
             "cold_s": round(cold_s, 2), "device_path": bool(dev),
@@ -502,6 +584,7 @@ _FULL_CASES = {
     "amg_setup": _case_amg_setup,
     "device_setup_256": _case_device_setup_256,
     "big_solve": _case_big_solve,
+    "big_solve_child": _case_big_solve_child,
     "ilu_device_setup": _case_ilu_device_setup,
     "ell_setup": _case_ell_setup,
     "gate3_file": _case_gate3_file,
@@ -528,7 +611,9 @@ def run_full(sol: float) -> int:
     env["PYTHONPATH"] = ("/root/repo" + os.pathsep +
                          env.get("PYTHONPATH", ""))
     for name in _FULL_CASES:
-        if name.startswith("gate"):
+        if name == "big_solve_child":
+            continue
+        if name.startswith("gate") or name == "big_solve":
             try:
                 r = _run_case(name, sol)
             except Exception as e:
