@@ -288,6 +288,7 @@ def _case_device_setup_256() -> dict:
 def _big_at(side: int) -> dict:
     """One attempt at the big single-chip solve (runs in a child
     process; see _case_big_solve)."""
+    import os
     import jax
     import jax.numpy as jnp
     from tpusolve.mesh import make_mesh
@@ -305,8 +306,9 @@ def _big_at(side: int) -> dict:
     hp = laplace27_host_parts(1, side, side, side, dtype=np.float32)
     # non-Galerkin truncation keeps coarse stacks <= 27 planes; stepped
     # PCG bounds program temps to one iteration
+    ngt = float(os.environ.get("TPUSOLVE_BIG_NGT", "0.02"))
     pre = structured_mg_setup_fast(
-        A, BoomerAMGConfig(non_galerkin_tol=0.02), host_parts=hp)
+        A, BoomerAMGConfig(non_galerkin_tol=ngt), host_parts=hp)
     setup_s = time.perf_counter() - t0
     del hp
     solve = pcg_setup(A, pre.apply, tol=1e-8, maxiter=200, fused=False)
@@ -598,7 +600,7 @@ def _run_case(name: str, sol: float) -> dict:
     return case(sol) if name in _NEEDS_SOL else case()
 
 
-def run_full(sol: float) -> int:
+def run_full(sol: float, head: dict | None = None) -> int:
     """Each heavy case runs in its OWN subprocess: a fresh TPU client
     frees all HBM at exit (in one process, a 16.8M-row case's arrays
     drain asynchronously and the next case OOMs — measured r5), and the
@@ -606,7 +608,7 @@ def run_full(sol: float) -> int:
     The gate cases already subprocess the CLI themselves."""
     import os
     import subprocess
-    results = []
+    results = [head] if head else []
     env = dict(os.environ)
     env["PYTHONPATH"] = ("/root/repo" + os.pathsep +
                          env.get("PYTHONPATH", ""))
@@ -718,17 +720,18 @@ def main() -> int:
 
     sol = device_hbm_gbps(kind)
     target = 0.8 * sol
-    print(json.dumps({
+    head = {
         "metric": f"spmv_effective_bandwidth_27pt_{side}^3_f32",
         "value": round(gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(gbps / target, 4),
-    }), flush=True)
+    }
+    print(json.dumps(head), flush=True)
     print(f"# device={kind} n={n} nnz={A.nnz} bytes/spmv={bytes_per/1e6:.1f}MB "
           f"per_spmv={per_spmv*1e3:.3f}ms sol={sol}GB/s "
           f"target(0.8*sol)={target}GB/s", file=sys.stderr)
     if "--full" in sys.argv:
-        return run_full(sol)
+        return run_full(sol, head=head)
     return 0
 
 
