@@ -160,3 +160,22 @@ class TestBiCGSTAB:
         # the 1-D Laplacian has cond ~ (n/pi)^2, so allow a looser x check.
         _solve_and_check(mesh8, laplace_1d(64), bicgstab_setup, rng,
                          x_rtol=1e-4)
+
+
+class TestSteppedPCG:
+    def test_stepped_matches_fused(self, mesh1):
+        """pcg_setup(fused=False) — one jitted step per iteration, for
+        memory-ceiling runs — must follow the fused while_loop program
+        iteration for iteration."""
+        import numpy as np
+        from tpusolve.stencil import laplace27
+        from tpusolve.krylov.cg import pcg_setup
+        A, b, _ = laplace27(mesh1, 8, 8, 8, dtype=np.float64)
+        rf = pcg_setup(A, tol=1e-10, maxiter=80)(b)
+        rs = pcg_setup(A, tol=1e-10, maxiter=80, fused=False)(b)
+        assert bool(rf.converged) and bool(rs.converged)
+        assert int(rf.iters) == int(rs.iters)
+        np.testing.assert_allclose(float(rs.relres), float(rf.relres),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(rs.x), np.asarray(rf.x),
+                                   rtol=1e-9, atol=1e-12)

@@ -94,8 +94,9 @@ def build(bench: dict) -> str:
             rows.append((label,
                          f"golden check PASSED, {r.get('iters')} iters, "
                          f"solve {_fmt(r.get('value'))} s",
-                         f"wall−timers gap {_fmt(r.get('wall_vs_timers_gap'),
-                         3)}{extra}"))
+                         f"CLI wall−timers gap {_fmt(r.get('wall_vs_timers_gap'),
+                         3)} (gap = interpreter+jax import "
+                         f"startup before timers begin){extra}"))
     lines = ["| What | Result | Target / context |", "|---|---|---|"]
     lines += [f"| {a} | {b} | {c} |" for a, b, c in rows]
     lines.append("")
